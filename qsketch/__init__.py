@@ -1,5 +1,31 @@
-from .quotient import QuotientFilter, QuotientFilterFullError
-from .hash import fnv1a64, fnv1a64_bytes, splitmix64
-from . import base
+"""qsketch — PySpark-native distributed sketch / approximate-aggregation library.
 
-__all__ = ["QuotientFilter", "QuotientFilterFullError", "fnv1a64", "fnv1a64_bytes", "splitmix64", "base"]
+From-scratch rebuild of the capabilities of micheleriva/quotient
+(/root/reference, read-only) as mergeable two-phase Spark aggregations:
+quotient filter at the core, plus Bloom, HLL, count-min, KLL and
+t-digest.  See SURVEY.md for the blueprint.
+"""
+
+from . import base
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hash import fnv1a64, fnv1a64_bytes, fnv1a64_str_array, splitmix64
+from .hll import HyperLogLog
+from .kll import KLLSketch
+from .quotient import QuotientFilter, QuotientFilterFullError
+from .tdigest import TDigest
+
+__all__ = [
+    "base",
+    "BloomFilter",
+    "CountMinSketch",
+    "HyperLogLog",
+    "KLLSketch",
+    "QuotientFilter",
+    "QuotientFilterFullError",
+    "TDigest",
+    "fnv1a64",
+    "fnv1a64_bytes",
+    "fnv1a64_str_array",
+    "splitmix64",
+]
