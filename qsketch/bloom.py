@@ -53,10 +53,15 @@ class BloomFilter:
         with np.errstate(over="ignore"):
             return ((h1[None, :] + ks * h2[None, :]) % U64(self.m_bits)).ravel()
 
-    def update(self, values, pre_hashed: bool = False) -> None:
+    def update(self, values, pre_hashed: bool = False, counts=None) -> None:
+        """``counts`` carries multiplicities when callers pre-deduplicate a
+
+        batch, keeping ``n_added`` equal to raw insert attempts (and thus
+        independent of batch/partition boundaries)."""
         idx = self._indices(values, pre_hashed)
         np.bitwise_or.at(self.words, idx >> U64(6), U64(1) << (idx & U64(63)))
-        self.n_added += int(np.asarray(values).size)
+        self.n_added += (int(np.asarray(counts).sum()) if counts is not None
+                         else int(np.asarray(values).size))
 
     def contains(self, values, pre_hashed: bool = False) -> np.ndarray:
         idx = self._indices(values, pre_hashed).reshape(self.k, -1)

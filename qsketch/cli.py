@@ -1,0 +1,85 @@
+"""spark-submit entry point: build sketches over a tokenized-sequence table.
+
+Usage (cluster):
+    spark-submit --py-files qsketch.zip -m qsketch.cli \\
+        --input <iceberg-table-or-parquet-path> --output /path/states \\
+        --ckpt /path/ckpt --run-id nightly-01 \\
+        --sketches quotient:tokens hll:tokens cms:tokens kll:n_tok
+
+Writes the final state table (one row per sketch kind: state blob +
+lineage metrics) as parquet, prints a one-line JSON metrics summary.
+Re-running with the same --ckpt/--run-id resumes: completed partitions
+are skipped and the result is byte-identical (see
+tests/test_spark_agg.py::test_checkpoint_resume_byte_identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_spec(s: str):
+    from .spark.agg import SketchSpec
+
+    kind, _, col = s.partition(":")
+    return SketchSpec(kind, col or "tokens")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="qsketch")
+    ap.add_argument("--input", required=True,
+                    help="Iceberg table name or parquet path")
+    ap.add_argument("--output", required=True, help="state-table output path")
+    ap.add_argument("--sketches", nargs="+", default=["quotient:tokens",
+                                                      "hll:tokens",
+                                                      "cms:tokens",
+                                                      "bloom:tokens",
+                                                      "kll:n_tok",
+                                                      "tdigest:n_tok"])
+    ap.add_argument("--group-by", default=None,
+                    help="optional group column (e.g. source) for per-group sketches")
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir for resumable builds")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--fanin", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .spark.agg import build, build_grouped, build_partials, tree_merge
+    from .spark.io import read_tokenized
+
+    spark = SparkSession.builder.appName("qsketch-build").getOrCreate()
+    df = read_tokenized(spark, args.input)
+    specs = tuple(parse_spec(s) for s in args.sketches)
+    t0 = time.perf_counter()
+    if args.group_by:
+        final = build_grouped(df, specs, args.group_by, args.fanin)
+        final.write.mode("overwrite").parquet(args.output)
+        n_rows = final.count()
+        metrics = {"groups": n_rows}
+    else:
+        num_parts = df.rdd.getNumPartitions()
+        partials = build_partials(df, specs, args.ckpt, args.run_id)
+        final = tree_merge(partials, num_parts, args.fanin)
+        final.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).collect()
+        metrics = {
+            "n_rows": max((r["n_rows"] for r in rows), default=0),
+            "n_tokens": max((r["n_tokens"] for r in rows), default=0),
+            "kinds": sorted(r["kind"] for r in rows),
+            "num_partitions": num_parts,
+        }
+    wall = time.perf_counter() - t0
+    metrics["wall_sec"] = round(wall, 3)
+    if metrics.get("n_tokens"):
+        metrics["tokens_per_sec"] = round(metrics["n_tokens"] / wall, 1)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

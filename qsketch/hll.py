@@ -58,7 +58,16 @@ class HyperLogLog:
         idx = (h >> U64(64 - self.p)).astype(np.int64)
         w = h << U64(self.p)  # remaining 64-p bits, left-aligned
         rho = np.minimum(_clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rho)
+        # ufunc.at is slow for large batches: reduce to one (idx, max rho)
+        # pair per distinct register first (sort + group-last), then a
+        # bounded (<= m entries) scatter-max.
+        order = np.lexsort((rho, idx))
+        idx_s = idx[order]
+        last = np.empty(len(idx_s), dtype=bool)
+        if len(idx_s):
+            last[-1] = True
+            np.not_equal(idx_s[1:], idx_s[:-1], out=last[:-1])
+            np.maximum.at(self.registers, idx_s[last], rho[order][last])
 
     def estimate(self) -> float:
         m = self.m

@@ -1,0 +1,422 @@
+"""The engine core: generic two-phase mergeable sketch aggregation.
+
+Phase 1 (partial, NARROW — zero data shuffle): ``df.mapInArrow`` builds
+one sketch state per (scan partition x sketch kind).  Arrow batches
+cross the JVM->Python boundary once; inside, hashing and inserts are
+pure NumPy over the batch (no per-row Python — the input_hint
+requirement).  Fingerprints are computed once per batch and shared by
+every hash-consuming sketch.
+
+Phase 2 (merge, shuffles only KILOBYTE/MEGABYTE states, never data):
+a fan-in-F tree of ``groupBy(kind, partition_id / F).applyInPandas``
+rounds — treeAggregate topology expressed in DataFrame ops so Catalyst
+/ AQE schedule it.  log_F(P) rounds for P partitions; at 1000
+executors and F=16 that is 3 rounds moving a few GB of states total,
+versus the reference's single-process lock-striped structure
+(/root/reference/filter.go:482-496) which cannot scale past one box.
+
+Grouped builds (sketch per ``source``) use the same map-side-combine
+shape: partials are emitted per (partition, group) with NO shuffle of
+row data, then only states shuffle on the group key — immune to the
+skewed source distribution by construction (the heavy group's rows
+never co-locate).  ``io.salted`` remains available for the
+applyInPandas variant when per-group state must see all rows together.
+
+Resumability: with a checkpoint dir, each task atomically writes its
+partial state file and a re-run skips completed partitions WITHOUT
+consuming their input (lazy Arrow iterator is never pulled), then the
+merge reads states from the checkpoint table. Final states are a pure
+function of the input multiset, so interrupted and uninterrupted runs
+produce byte-identical quotient-filter results.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import base
+from ..bloom import BloomFilter
+from ..cms import CountMinSketch
+from ..hash import fnv1a64
+from ..hll import HyperLogLog
+from ..kll import KLLSketch
+from ..quotient import QuotientFilter
+from ..tdigest import TDigest
+
+STATE_SCHEMA = ("partition_id int, kind string, state binary, "
+                "n_rows long, n_tokens long, build_ms double")
+GROUP_STATE_SCHEMA = ("group string, partition_id int, kind string, state binary, "
+                      "n_rows long, n_tokens long, build_ms double")
+
+_STATE_PA_SCHEMA = pa.schema([
+    ("partition_id", pa.int32()), ("kind", pa.string()), ("state", pa.binary()),
+    ("n_rows", pa.int64()), ("n_tokens", pa.int64()), ("build_ms", pa.float64()),
+])
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """What to sketch: ``kind`` over column ``input`` (array<int> columns
+
+    are flattened; scalar numeric columns feed quantile sketches)."""
+    kind: str  # quotient | bloom | hll | cms | kll | tdigest
+    input: str = "tokens"
+    params: dict = field(default_factory=dict)
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}:{self.input}"
+
+
+DEFAULT_SPECS = (
+    SketchSpec("quotient", "tokens"),
+    SketchSpec("hll", "tokens"),
+    SketchSpec("cms", "tokens"),
+    SketchSpec("bloom", "tokens"),
+    SketchSpec("kll", "n_tok"),
+    SketchSpec("tdigest", "n_tok"),
+)
+
+_HASH_KINDS = {"quotient", "bloom", "hll", "cms"}
+
+
+class _Acc:
+    """Per-partition accumulator for one spec: incremental for sketches
+
+    with cheap vector updates; deferred single bulk build for the
+    quotient filter (sorted bulk layout beats repeated unions)."""
+
+    def __init__(self, spec: SketchSpec):
+        self.spec = spec
+        p = spec.params
+        k = spec.kind
+        if k == "quotient":
+            self.sk = None
+            self._hashes: list[np.ndarray] = []
+            self._max_load = p.get("max_load", 0.9)
+            self._q_bits = p.get("q_bits")
+        elif k == "bloom":
+            self.sk = BloomFilter(p.get("m_bits", 1 << 23), p.get("k", 7))
+        elif k == "hll":
+            self.sk = HyperLogLog(p.get("p", 14))
+        elif k == "cms":
+            self.sk = CountMinSketch(p.get("width", 27183), p.get("depth", 7),
+                                     p.get("seed", 0xC0FFEE))
+        elif k == "kll":
+            self.sk = KLLSketch(p.get("k", 200))
+        elif k == "tdigest":
+            self.sk = TDigest(p.get("delta", 200))
+        else:
+            raise ValueError(f"unknown sketch kind {k}")
+
+    def add(self, values: np.ndarray, hashes: np.ndarray | None,
+            counts: np.ndarray | None = None) -> None:
+        """``hashes``/``counts`` are per-batch DEDUPLICATED fingerprints +
+
+        multiplicities (see _dedup): set-semantics sketches consume the
+        unique fingerprints, the linear CMS takes them weighted, and the
+        quantile sketches take the raw (non-deduped) values."""
+        k = self.spec.kind
+        if k == "quotient":
+            self._hashes.append(hashes)
+        elif k == "cms":
+            self.sk.update(hashes, counts=counts, pre_hashed=True)
+        elif k == "bloom":
+            self.sk.update(hashes, pre_hashed=True, counts=counts)
+        elif k in _HASH_KINDS:
+            self.sk.update(hashes, pre_hashed=True)
+        else:
+            self.sk.update(values)
+
+    def finish(self) -> bytes:
+        if self.spec.kind == "quotient":
+            h = (np.unique(np.concatenate(self._hashes))
+                 if self._hashes else np.empty(0, dtype=np.uint64))
+            self.sk = QuotientFilter.build(h, q_bits=self._q_bits,
+                                           max_load=self._max_load,
+                                           pre_hashed=True)
+        return self.sk.to_bytes()
+
+
+def _flatten_column(batch: pa.RecordBatch, name: str) -> np.ndarray:
+    col = batch.column(name)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique values, counts) — THE scale lever of the partial phase.
+
+    Token batches are heavily repetitive (Zipf over a bounded vocab), so
+    hashing/sketching unique values with multiplicities shrinks the
+    scatter-update working set by orders of magnitude and turns a
+    memory-bandwidth-bound build into a compute-bound one.  Small-domain
+    ints take the O(n) bincount path (no sort)."""
+    if values.dtype.kind in "iu" and values.size:
+        lo = int(values.min())
+        hi = int(values.max())
+        if 0 <= lo and hi < (1 << 22):
+            counts = np.bincount(values)
+            uniq = np.flatnonzero(counts)
+            return uniq.astype(values.dtype), counts[uniq]
+    return np.unique(values, return_counts=True)
+
+
+def _partial_builder(specs: tuple[SketchSpec, ...], ckpt_dir: str | None,
+                     run_id: str | None):
+    """Returns the mapInArrow function building all specs in one pass."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if ckpt_dir is not None:
+            done = os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
+            if os.path.exists(done):
+                return  # resume: input iterator never consumed
+        t0 = time.perf_counter()
+        accs = [_Acc(s) for s in specs]
+        inputs = sorted({s.input for s in specs})
+        hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+        n_rows = 0
+        n_tokens = 0
+        for batch in batches:
+            n_rows += batch.num_rows
+            vals = {name: _flatten_column(batch, name) for name in inputs}
+            dedup = {name: _dedup(vals[name]) for name in hash_inputs}
+            hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
+            if "tokens" in vals:
+                n_tokens += len(vals["tokens"])
+            for acc in accs:
+                name = acc.spec.input
+                acc.add(vals[name], hashes.get(name),
+                        dedup[name][1] if name in dedup else None)
+        build_ms = (time.perf_counter() - t0) * 1000.0
+        out = pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * len(accs), type=pa.int32()),
+                pa.array([a.spec.name for a in accs]),
+                pa.array([a.finish() for a in accs], type=pa.binary()),
+                pa.array([n_rows] * len(accs), type=pa.int64()),
+                pa.array([n_tokens] * len(accs), type=pa.int64()),
+                pa.array([build_ms] * len(accs), type=pa.float64()),
+            ],
+            schema=_STATE_PA_SCHEMA,
+        )
+        if ckpt_dir is not None:
+            os.makedirs(os.path.join(ckpt_dir, run_id), exist_ok=True)
+            tmp = done + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(pa.Table.from_batches([out]), tmp)
+            os.replace(tmp, done)  # atomic per-partition commit
+            return
+        yield out
+
+    return fn
+
+
+def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
+                   ckpt_dir: str | None = None,
+                   run_id: str | None = None) -> DataFrame:
+    """Phase 1: one state row per (input partition, spec). Narrow — the
+
+    plan keeps the parquet scan's partitioning; only needed columns are
+    selected so scan pruning pushes down (ReadSchema shrinks)."""
+    cols = sorted({s.input for s in specs})
+    proj = df.select(*cols)
+    fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
+    partials = proj.mapInArrow(fn, STATE_SCHEMA)
+    if ckpt_dir is not None:
+        # materialize task side-effect writes, then read the state table
+        partials.write.format("noop").mode("overwrite").save()
+        return df.sparkSession.read.parquet(os.path.join(ckpt_dir, run_id))
+    return partials
+
+
+def tree_merge(states: DataFrame, num_leaves: int, fanin: int = 16,
+               key_cols: tuple[str, ...] = ("kind",)) -> DataFrame:
+    """Phase 2: fan-in-F merge tree over state rows (treeAggregate
+
+    topology in DataFrame ops).  Only sketch blobs shuffle."""
+    out_cols = [f.name for f in states.schema.fields]
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic merge order (matters only for the non-canonical
+        # quantile sketches; canonical kinds are order-independent anyway)
+        pdf = pdf.sort_values("partition_id")
+        sk = base.from_bytes(pdf["state"].iloc[0])
+        for blob in pdf["state"].iloc[1:]:
+            sk = sk.merge(base.from_bytes(blob))
+        out = pdf.iloc[:1].copy()
+        out["partition_id"] = int(pdf["partition_id"].iloc[0]) // fanin
+        out["state"] = [sk.to_bytes()]
+        out["n_rows"] = pdf["n_rows"].sum()
+        out["n_tokens"] = pdf["n_tokens"].sum()
+        out["build_ms"] = pdf["build_ms"].sum()
+        return out[out_cols]
+
+    df = states
+    leaves = num_leaves
+    while leaves > 1:
+        df = (df.withColumn("__bucket",
+                            (F.col("partition_id") / F.lit(fanin)).cast("int"))
+                .groupBy(*key_cols, "__bucket")
+                .applyInPandas(merge_group, states.schema))
+        leaves = -(-leaves // fanin)
+    return df
+
+
+@dataclass
+class BuildResult:
+    sketches: dict  # spec.name -> sketch object
+    n_rows: int
+    n_tokens: int
+    build_ms_total: float
+    num_partitions: int
+
+    def __getitem__(self, name: str):
+        return self.sketches[name]
+
+
+def build(df: DataFrame, specs=DEFAULT_SPECS, fanin: int = 16,
+          ckpt_dir: str | None = None, run_id: str | None = None) -> BuildResult:
+    """End-to-end two-phase build -> final sketches on the driver."""
+    num_parts = df.rdd.getNumPartitions()
+    partials = build_partials(df, specs, ckpt_dir, run_id)
+    final = tree_merge(partials, num_parts, fanin).collect()
+    sketches = {row["kind"]: base.from_bytes(row["state"]) for row in final}
+    return BuildResult(
+        sketches=sketches,
+        n_rows=max((r["n_rows"] for r in final), default=0),
+        n_tokens=max((r["n_tokens"] for r in final), default=0),
+        build_ms_total=max((r["build_ms"] for r in final), default=0.0),
+        num_partitions=num_parts,
+    )
+
+
+def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
+                  fanin: int = 16) -> DataFrame:
+    """Sketch per group with map-side combine: partials per (partition,
+
+    group) — NO row-data shuffle, so source skew cannot create a hot
+    task — then a state-only merge keyed by group."""
+    cols = sorted({s.input for s in specs} | {group_col})
+    proj = df.select(*cols)
+    specs = tuple(specs)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        inputs = sorted({s.input for s in specs})
+        hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+        accs: dict[str, list[_Acc]] = {}
+        meta: dict[str, list[int]] = {}
+        for batch in batches:
+            groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(groups, kind="stable")
+            uniq, starts = np.unique(groups[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            tb = pa.Table.from_batches([batch])
+            for gi, g in enumerate(uniq):
+                rows = order[bounds[gi]:bounds[gi + 1]]
+                sub = tb.take(pa.array(rows)).combine_chunks().to_batches()[0]
+                if g not in accs:
+                    accs[g] = [_Acc(s) for s in specs]
+                    meta[g] = [0, 0]
+                vals = {name: _flatten_column(sub, name) for name in inputs}
+                dedup = {name: _dedup(vals[name]) for name in hash_inputs}
+                hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
+                meta[g][0] += sub.num_rows
+                if "tokens" in vals:
+                    meta[g][1] += len(vals["tokens"])
+                for acc in accs[g]:
+                    name = acc.spec.input
+                    acc.add(vals[name], hashes.get(name),
+                            dedup[name][1] if name in dedup else None)
+        names, pids, kinds, blobs, nr, nt, ms = [], [], [], [], [], [], []
+        for g, alist in accs.items():
+            for a in alist:
+                names.append(g)
+                pids.append(pid)
+                kinds.append(a.spec.name)
+                blobs.append(a.finish())
+                nr.append(meta[g][0])
+                nt.append(meta[g][1])
+                ms.append(0.0)
+        if not names:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([str(x) for x in names]), pa.array(pids, type=pa.int32()),
+             pa.array(kinds),
+             pa.array(blobs, type=pa.binary()), pa.array(nr, type=pa.int64()),
+             pa.array(nt, type=pa.int64()), pa.array(ms, type=pa.float64())],
+            names=["group", "partition_id", "kind", "state",
+                   "n_rows", "n_tokens", "build_ms"],
+        )
+
+    partials = proj.mapInArrow(fn, GROUP_STATE_SCHEMA)
+    return tree_merge(partials, proj.rdd.getNumPartitions(), fanin,
+                      key_cols=("group", "kind"))
+
+
+# ---------------- probe side ----------------------------------------------
+
+_SKETCH_CACHE: dict[str, object] = {}
+
+
+def _cached_sketch(token: str, blob: bytes):
+    sk = _SKETCH_CACHE.get(token)
+    if sk is None:
+        sk = base.from_bytes(blob)
+        _SKETCH_CACHE[token] = sk
+    return sk
+
+
+def with_membership(df: DataFrame, values_col: str, sketch_bytes: bytes,
+                    out_col: str = "is_member") -> DataFrame:
+    """Broadcast a finished filter; vectorized membership column.
+
+    The Spark-native analog of Bloom-join pruning: follow with
+    ``.where(out_col)`` for a sketch-accelerated semi-join."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sketch_bytes)
+    token = uuid.uuid4().hex
+
+    @pandas_udf("boolean")
+    def is_member(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(token, bc.value)
+        return pd.Series(sk.contains(s.to_numpy()))
+
+    return df.withColumn(out_col, is_member(F.col(values_col)))
+
+
+def with_frequency(df: DataFrame, values_col: str, cms_bytes: bytes,
+                   out_col: str = "est_count") -> DataFrame:
+    """Broadcast a count-min sketch; vectorized point-frequency column."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cms_bytes)
+    token = uuid.uuid4().hex
+
+    @pandas_udf("long")
+    def freq(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(token, bc.value)
+        return pd.Series(sk.estimate(s.to_numpy()))
+
+    return df.withColumn(out_col, freq(F.col(values_col)))

@@ -1,0 +1,120 @@
+"""User-facing query surface (SURVEY.md §2.3 -> library API).
+
+Re-exposes the reference's four HTTP verbs (/root/reference/server.go:44-59)
+plus the north-rule extensions as DataFrame-level queries:
+
+    insert  -> build()/build_grouped()           (two-phase aggregation)
+    exists  -> membership()                      (broadcast probe column)
+    count   -> cardinality()                     (QF exact / HLL estimate)
+    remove  -> QuotientFilter.remove on the final state (local op)
+    +        heavy_hitters(), quantiles(), fpr() (north-rule additions)
+
+Every function takes and returns DataFrames so Catalyst sees the whole
+plan; sketch state moves via broadcast, never via collect-loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import base
+from .agg import SketchSpec, build, build_grouped, with_frequency, with_membership
+
+
+def tokenize_text(df: DataFrame, text_col: str = "text",
+                  token_col: str = "token") -> DataFrame:
+    """Whitespace tokenizer over a text column -> one row per token.
+
+    Kept deliberately SQL-parity-simple (single-space split, drop empty)
+    so DuckDB oracles can reproduce it exactly.
+    """
+    return (df.select(F.explode(F.split(F.col(text_col), " ")).alias(token_col))
+              .where(F.col(token_col) != ""))
+
+
+def token_ids(df: DataFrame, token_col: str = "token",
+              id_col: str = "token_id") -> DataFrame:
+    """Map string tokens to stable int64 ids JVM-side (xxhash64 — stays
+
+    inside whole-stage codegen; the sketches fingerprint these ids with
+    FNV-1a as usual)."""
+    return df.withColumn(id_col, F.xxhash64(F.col(token_col)))
+
+
+def membership(build_df: DataFrame, probe_df: DataFrame,
+               build_col: str, probe_col: str,
+               kind: str = "quotient", params: dict | None = None,
+               out_col: str = "is_member") -> DataFrame:
+    """exists() as a column: build a filter over ``build_df[build_col]``
+
+    (two-phase, no data shuffle), broadcast the final state, and probe
+    ``probe_df[probe_col]`` vectorized."""
+    spec = SketchSpec(kind, build_col, params or {})
+    res = build(build_df, (spec,))
+    state = res.sketches[spec.name].to_bytes()
+    return with_membership(probe_df, probe_col, state, out_col)
+
+
+def cardinality(df: DataFrame, col: str, exact: bool = True,
+                params: dict | None = None) -> DataFrame:
+    """count() as a 1-row DataFrame: QF full-remainder cardinality
+
+    (collision-exact) and/or HLL estimate."""
+    specs = [SketchSpec("hll", col, params or {})]
+    if exact:
+        specs.append(SketchSpec("quotient", col, params or {}))
+    res = build(df, tuple(specs))
+    spark = df.sparkSession
+    rows = [{
+        "kind": s.kind,
+        "estimate": float(res.sketches[s.name].estimate()
+                          if s.kind == "hll"
+                          else res.sketches[s.name].cardinality()),
+    } for s in specs]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20,
+                  params: dict | None = None) -> DataFrame:
+    """Top-k frequency: exact candidates via groupBy (the oracle path)
+
+    annotated with CMS estimates (the sketch path, which is what scales
+    when the exact groupBy would blow up — candidates can then come from
+    per-partition top-k)."""
+    spec = SketchSpec("cms", col, params or {})
+    res = build(df, (spec,))
+    exact_top = (df.groupBy(col).agg(F.count("*").alias("exact_count"))
+                   .orderBy(F.desc("exact_count"), F.asc(col)).limit(k))
+    return with_frequency(exact_top, col, res.sketches[spec.name].to_bytes(),
+                          "est_count")
+
+
+def quantiles(df: DataFrame, col: str, qs: list[float],
+              kind: str = "kll", params: dict | None = None) -> DataFrame:
+    """Quantile estimates via KLL or t-digest over a numeric column."""
+    spec = SketchSpec(kind, col, params or {})
+    res = build(df, (spec,))
+    sk = res.sketches[spec.name]
+    vals = sk.quantiles(np.asarray(qs, dtype=np.float64))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"q": qs, "value": np.asarray(vals, dtype=np.float64)}))
+
+
+def fpr(build_df: DataFrame, probe_df: DataFrame, build_col: str,
+        probe_col: str, kind: str = "quotient",
+        params: dict | None = None) -> DataFrame:
+    """Empirical false-positive rate on a probe set known to be disjoint
+
+    from the build set, next to the sketch's published bound."""
+    spec = SketchSpec(kind, build_col, params or {})
+    res = build(build_df, (spec,))
+    sk = res.sketches[spec.name]
+    probed = with_membership(probe_df, probe_col, sk.to_bytes(), "fp")
+    bound = (sk.fpr_bound() if kind == "quotient" else sk.fpr_estimate())
+    return (probed.agg(F.avg(F.col("fp").cast("double")).alias("empirical_fpr"))
+                  .withColumn("published_bound", F.lit(float(bound))))

@@ -1,0 +1,135 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed scale path.
+
+Brute force is the exactness baseline: query vectors are BROADCAST
+(they are few), the corpus side streams through a crossJoin with the
+dot product computed JVM-side (zip_with + aggregate — whole-stage
+codegen, no Python).  At 100 TB the scale path is sign-random-
+projection LSH: each vector gets a compact bucket key from the sign
+pattern of d_r random projections; candidates share a bucket, then
+exact cosine re-ranks candidates only — the same
+candidates-then-verify shape as textops.near_duplicates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..hash import splitmix64
+
+
+def _norm_expr(col: str):
+    return F.sqrt(F.aggregate(
+        F.col(col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot_expr(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    queries: (query_id, embedding).  The query side is broadcast; the
+    big corpus never shuffles — a single narrow pass + a tiny top-k
+    window on (query, sim).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col, id_col,
+        (_dot_expr(vec_col, "__qvec")
+         / (_norm_expr(vec_col) * _norm_expr("__qvec"))).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 0xA11CE, n_tables: int = 4) -> DataFrame:
+    """Sign-random-projection LSH keys: ``n_tables`` independent
+
+    ``n_bits``-bit bucket ids per vector (vectorized per Arrow batch).
+    Deterministic projections derived from splitmix64(seed) — every
+    executor regenerates the same planes, nothing is shipped."""
+    def planes(table: int) -> np.ndarray:
+        raw = splitmix64(
+            np.arange(dim * n_bits, dtype=np.uint64)
+            + np.uint64(seed + 0x9E37 * table))
+        # uniform [-1, 1) from the top 53 bits
+        u = (raw >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return (2.0 * u - 1.0).reshape(n_bits, dim)
+
+    mats = [planes(t) for t in range(n_tables)]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bit_w = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+        for batch in batches:
+            ids = batch.column(id_col)
+            vecs = np.asarray(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64)
+            out_ids, out_tab, out_key = [], [], []
+            for t, m in enumerate(mats):
+                signs = (vecs @ m.T) > 0
+                keys = (signs.astype(np.uint64) * bit_w).sum(axis=1)
+                out_ids.append(ids.to_numpy())
+                out_tab.append(np.full(len(keys), t, dtype=np.int32))
+                out_key.append(keys.view(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_ids)),
+                 pa.array(np.concatenate(out_tab)),
+                 pa.array(np.concatenate(out_key))],
+                names=[id_col, "table", "bucket"])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        fn, f"{id_col} long, table int, bucket long")
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, n_bits: int = 12, n_tables: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: SRP buckets generate candidates (corpus rows
+
+    sharing any bucket with a query), exact cosine re-ranks candidates
+    only.  Recall rises with n_tables; cost scales with bucket
+    collision counts, not |corpus| x |queries|."""
+    from pyspark.sql.window import Window
+
+    ck = srp_bucket_keys(corpus, dim, n_bits, id_col, vec_col,
+                         n_tables=n_tables)
+    qk = srp_bucket_keys(
+        queries.select(F.col(query_id_col).alias(id_col), vec_col),
+        dim, n_bits, id_col, vec_col, n_tables=n_tables)
+    cand = (ck.join(qk.withColumnRenamed(id_col, query_id_col)
+                    .hint("broadcast"), ["table", "bucket"])
+              .select(query_id_col, id_col).distinct())
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    scored = (cand.join(corpus.select(id_col, vec_col), id_col)
+                  .join(F.broadcast(q), query_id_col)
+                  .select(query_id_col, id_col,
+                          (_dot_expr(vec_col, "__qvec")
+                           / (_norm_expr(vec_col) * _norm_expr("__qvec")))
+                          .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
+                                                 F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "cosine", "rank"))

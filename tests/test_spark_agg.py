@@ -1,0 +1,178 @@
+"""Spark-layer tests: the minimum end-to-end slice (SURVEY.md §7.2) and up.
+
+Builds partial sketches per partition with mapInArrow, tree-merges
+state blobs, and checks every estimate against exact answers computed
+from the same (deterministic) input — plus merge determinism across
+different partition counts, grouped (per-source) builds, probe columns,
+and checkpoint/resume byte-identity.
+"""
+
+import numpy as np
+import pytest
+
+from qsketch import base
+from qsketch.spark.agg import (
+    DEFAULT_SPECS,
+    SketchSpec,
+    build,
+    build_grouped,
+    build_partials,
+    tree_merge,
+    with_frequency,
+    with_membership,
+)
+from qsketch.spark.io import generate_tokenized
+
+
+def _exact(df):
+    """Ground truth from the same DataFrame via Spark SQL (exact ops)."""
+    import pyspark.sql.functions as F
+
+    ex = df.select(F.explode("tokens").alias("t"))
+    distinct = ex.select("t").distinct().count()
+    counts = {r["t"]: r["c"] for r in
+              ex.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    n_toks = np.array([r["n_tok"] for r in df.select("n_tok").collect()])
+    return distinct, counts, n_toks
+
+
+def test_end_to_end_slice(tiny_df):
+    """SURVEY.md §7.2: build -> merge -> probe, all sketches, exact checks."""
+    res = build(tiny_df, DEFAULT_SPECS)
+    distinct, counts, n_toks = _exact(tiny_df)
+    total_tokens = int(n_toks.sum())
+    assert res.n_rows == 1000
+    assert res.n_tokens == total_tokens
+
+    qf = res["quotient:tokens"]
+    assert qf.cardinality() == distinct  # full-r QF: exact distinct (no FN, no collision at this scale)
+    present = np.fromiter(counts.keys(), dtype=np.int64)
+    assert qf.contains(present).all(), "zero false negatives"
+    absent = np.arange(60000, 70000)
+    fpr = qf.contains(absent).mean()
+    assert fpr <= max(3 * qf.fpr_bound(), 1e-3)
+
+    hll = res["hll:tokens"]
+    assert abs(hll.estimate() - distinct) / distinct <= 4 * hll.rel_std_error()
+
+    cms = res["cms:tokens"]
+    probe = present[:500]
+    true = np.array([counts[int(t)] for t in probe])
+    est = cms.estimate(probe)
+    assert (est >= true).all()
+    assert (est - true <= cms.error_bound()).mean() >= 0.99
+
+    bloom = res["bloom:tokens"]
+    assert bloom.contains(present).all()
+
+    kll, td = res["kll:n_tok"], res["tdigest:n_tok"]
+    srt = np.sort(n_toks)
+    for q in (0.1, 0.5, 0.9):
+        for est_v in (kll.quantiles([q])[0], td.quantiles([q])[0]):
+            r = np.searchsorted(srt, est_v, side="right") / len(srt)
+            assert abs(r - q) <= 0.05, (q, est_v, r)
+
+
+def test_partition_count_invariance(spark):
+    """Final QF state must be byte-identical no matter how the input was
+    partitioned (the distributed analog of merge-order independence)."""
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"),
+             SketchSpec("cms", "tokens"), SketchSpec("bloom", "tokens"))
+    blobs = []
+    for parts in (2, 8):
+        df = generate_tokenized(spark, 500, seed=7, num_partitions=parts)
+        res = build(df, specs, fanin=4)
+        blobs.append({k: s.to_bytes() for k, s in res.sketches.items()})
+    assert blobs[0] == blobs[1]
+
+
+def test_tree_merge_fanin_shapes(spark, tiny_df):
+    """Different fan-ins (different merge trees) -> same canonical states."""
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"))
+    partials = build_partials(tiny_df, specs)
+    n = tiny_df.rdd.getNumPartitions()
+    by2 = {r["kind"]: r["state"] for r in tree_merge(partials, n, fanin=2).collect()}
+    by16 = {r["kind"]: r["state"] for r in tree_merge(partials, n, fanin=16).collect()}
+    assert by2 == by16
+
+
+def test_grouped_build_matches_per_group_exact(spark, tiny_df):
+    import pyspark.sql.functions as F
+
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"))
+    got = {(r["group"], r["kind"]): r for r in
+           build_grouped(tiny_df, specs, "source").collect()}
+    exact = {r["source"]: (r["d"], r["n"]) for r in
+             tiny_df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source")
+             .agg(F.countDistinct("t").alias("d"), F.count("*").alias("n"))
+             .collect()}
+    assert {g for g, _ in got} == set(exact)
+    for (g, kind), row in got.items():
+        if kind == "quotient:tokens":
+            qf = base.from_bytes(row["state"])
+            assert qf.cardinality() == exact[g][0], g
+            assert row["n_tokens"] == exact[g][1]
+
+
+def test_membership_and_frequency_probe_columns(spark, tiny_df):
+    import pyspark.sql.functions as F
+
+    res = build(tiny_df, (SketchSpec("quotient", "tokens"),
+                          SketchSpec("cms", "tokens")))
+    present = tiny_df.select(F.explode("tokens").alias("t")).distinct()
+    absent = spark.range(60000, 61000).select(F.col("id").cast("int").alias("t"))
+
+    probed = with_membership(present.union(absent), "t",
+                             res["quotient:tokens"].to_bytes())
+    got = {r["t"]: r["is_member"] for r in probed.collect()}
+    n_present = present.count()
+    assert sum(1 for t, m in got.items() if t < 60000 and m) == n_present
+    fp = sum(1 for t, m in got.items() if t >= 60000 and m)
+    assert fp <= 3
+
+    freq = with_frequency(present.limit(100), "t",
+                          res["cms:tokens"].to_bytes())
+    exact = {r["t"]: r["c"] for r in
+             tiny_df.select(F.explode("tokens").alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c")).collect()}
+    for r in freq.collect():
+        assert r["est_count"] >= exact[r["t"]]
+
+
+def test_checkpoint_resume_byte_identical(spark, tmp_path):
+    """Kill-and-resume drill (SURVEY.md §7.1 item 8): first run writes
+    per-partition state files; a resumed run skips completed partitions
+    and the final state is byte-identical to an uninterrupted run."""
+    import os
+
+    df = generate_tokenized(spark, 400, seed=3, num_partitions=4)
+    specs = (SketchSpec("quotient", "tokens"),)
+    ck = str(tmp_path / "ckpt")
+
+    uninterrupted = build(df, specs).sketches["quotient:tokens"].to_bytes()
+
+    r1 = build(df, specs, ckpt_dir=ck, run_id="run1")
+    files = sorted(os.listdir(os.path.join(ck, "run1")))
+    assert len(files) == 4 and all(f.startswith("state-") for f in files)
+    # simulate a crash that lost two partitions
+    for f in files[:2]:
+        os.remove(os.path.join(ck, "run1", f))
+    mtime_kept = os.path.getmtime(os.path.join(ck, "run1", files[2]))
+    r2 = build(df, specs, ckpt_dir=ck, run_id="run1")
+    # the two surviving partials were reused, not recomputed
+    assert os.path.getmtime(os.path.join(ck, "run1", files[2])) == mtime_kept
+    assert (r1.sketches["quotient:tokens"].to_bytes()
+            == r2.sketches["quotient:tokens"].to_bytes()
+            == uninterrupted)
+
+
+def test_partials_schema_and_narrowness(tiny_df):
+    """Phase 1 must not shuffle: partial count == input partition count,
+    and the plan contains no Exchange before the map."""
+    specs = (SketchSpec("quotient", "tokens"),)
+    partials = build_partials(tiny_df, specs)
+    rows = partials.collect()
+    assert len(rows) == tiny_df.rdd.getNumPartitions()
+    plan = partials._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -1,0 +1,170 @@
+"""Tests for training-data pipeline ops: dedup, MinHash LSH, SimHash,
+text quality, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Small corpus with exact dups, near dups, and distinct docs."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight").split()
+    rows = []
+    rng = np.random.default_rng(9)
+    for i in range(40):
+        words = [base[j % len(base)] for j in rng.permutation(60)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))          # exact dup of doc 0
+    rows.append((101, rows[1][1]))          # exact dup of doc 1
+    near = rows[2][1].split(" ")
+    near[3] = "MUTATED"
+    rows.append((102, " ".join(near)))      # near dup of doc 2
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from qsketch.spark.textops import dedupe_exact, exact_dup_groups
+
+    groups = exact_dup_groups(docs).collect()
+    assert {(r["keep_id"], r["dup_count"]) for r in groups} == {(0, 2), (1, 2)}
+    kept = dedupe_exact(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_minhash_lsh_near_duplicates(docs):
+    from qsketch.spark.textops import near_duplicates
+
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in near_duplicates(docs, threshold=0.8).collect()}
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+    assert (1, 101) in got and got[(1, 101)] == 1.0
+    assert (2, 102) in got and 0.8 <= got[(2, 102)] < 1.0
+    # no false pairs below threshold survive verification
+    assert all(j >= 0.8 for j in got.values())
+
+
+def test_minhash_signature_properties(spark):
+    from qsketch.spark.textops import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]          # identical docs -> identical signatures
+    agree = np.mean(np.array(sigs[1]) == np.array(sigs[3]))
+    assert agree < 0.2                 # disjoint docs -> low agreement
+
+
+def test_simhash(spark):
+    from qsketch.spark.textops import simhash
+
+    # simhash is a bag-of-words signature: order-insensitive, robust to
+    # single-word edits, far apart for disjoint vocabularies
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(500)]
+    a_words = [vocab[i] for i in rng.choice(500, 80, replace=False)]
+    b_words = list(a_words)
+    b_words[5] = "MUTATED"
+    c_words = [f"z{i}" for i in range(80)]
+    df = spark.createDataFrame(
+        [(0, " ".join(a_words)),
+         (1, " ".join(reversed(a_words))),   # permutation of doc 0
+         (2, " ".join(b_words)),             # one-word edit of doc 0
+         (3, " ".join(c_words))],            # disjoint vocabulary
+        "doc_id long, text string")
+    sh = {r["doc_id"]: int(r["simhash"]) & (2**64 - 1)
+          for r in simhash(df).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert sh[0] == sh[1]                    # bag-identical -> identical
+    assert ham(sh[0], sh[2]) <= 12           # near dup -> close
+    assert ham(sh[0], sh[3]) >= 20           # disjoint -> far
+
+
+def test_text_quality_features(spark):
+    from qsketch.spark.textops import text_quality, token_count_bpe_ish
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "xyzzy!!! 123 foo...")],
+        "doc_id long, text string")
+    q = {r["doc_id"]: r.asDict() for r in text_quality(df).collect()}
+    assert q[1]["n_tokens"] == 6
+    assert q[1]["stopword_ratio"] == pytest.approx(3 / 6)
+    assert q[2]["alpha_ratio"] < q[1]["alpha_ratio"]
+    t = {r["doc_id"]: r.asDict() for r in token_count_bpe_ish(df).collect()}
+    assert t[1]["n_words"] == 6 and t[1]["n_pieces"] == 6
+    assert t[2]["n_pieces"] == 5   # xyzzy | !!! | 123 | foo | ...
+
+
+def test_cosine_topk_bruteforce(spark):
+    from qsketch.spark.similarity import cosine_topk_bruteforce
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, vecs[7].tolist())], "query_id long, embedding array<float>")
+    top = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == pytest.approx(1.0)
+    # matches numpy exact ranking
+    sims = (vecs @ vecs[7]) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    expect = list(np.argsort(-sims)[:5])
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])] == expect
+
+
+def test_cosine_topk_lsh_recall(spark):
+    from qsketch.spark.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(200, 32)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, vecs[3].tolist()), (1, vecs[99].tolist())],
+        "query_id long, embedding array<float>")
+    exact = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    approx = cosine_topk_lsh(corpus, queries, dim=32, k=5,
+                             n_bits=8, n_tables=16).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, (recall, ex, ap)
+
+
+def test_multimodal_plumbing(spark):
+    from qsketch.spark.multimodal import (
+        extract_features, frame_sample, register_codec, synthesize_media)
+
+    media = synthesize_media(spark, 30)
+    media.cache()
+    assert media.count() == 30
+    feats = extract_features(media).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(r["payload_bytes"] >= 16 for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == \
+           {r["media_id"]: r["features"] for r in feats2}
+    # a registered codec takes over for its media type
+    register_codec("image", lambda payload: np.zeros(8))
+    try:
+        f3 = {r["media_id"]: r["features"]
+              for r in extract_features(media).collect()}
+        img_ids = [r["media_id"] for r in media.collect()
+                   if r["media_type"] == "image"]
+        assert all(f3[i] == [0.0] * 8 for i in img_ids)
+    finally:
+        from qsketch.spark import multimodal
+        multimodal._CODECS.pop("image", None)
+    fs = frame_sample(media, every_n=7)
+    rows = fs.collect()
+    assert all(r["frame_idx"] % 7 == 0 for r in rows)
+    vids = media.where("media_type = 'video'").select("media_id", "n_frames").collect()
+    expect = sum(1 + (r["n_frames"] - 1) // 7 for r in vids)
+    assert len(rows) == expect

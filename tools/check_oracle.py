@@ -1,0 +1,79 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same sf dir; compare row count, column names, and
+order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows, "
+                  f"cols={list(sdf.columns)}")
+            continue
+        odf = con.sql(oracles[name]).df()
+        a, b = normalize(sdf), normalize(odf)
+        ok = True
+        if list(a.columns) != list(b.columns):
+            print(f"[FAIL cols] {name}: spark={list(a.columns)} oracle={list(b.columns)}")
+            ok = False
+        elif len(a) != len(b):
+            print(f"[FAIL rows] {name}: spark={len(a)} oracle={len(b)}")
+            ok = False
+        else:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            except AssertionError as e:
+                print(f"[FAIL vals] {name}: {str(e)[:500]}")
+                ok = False
+        if ok:
+            print(f"[OK]        {name}: {len(a)} rows match oracle")
+        else:
+            failures += 1
+    # smoke entry()
+    edf = entrymod.entry(spark)
+    n = edf.count()
+    print(f"[entry]     {n} rows, schema={edf.schema.simpleString()}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
