@@ -154,7 +154,10 @@ def _flatten_column(batch: pa.RecordBatch, name: str) -> np.ndarray:
     col = batch.column(name)
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         col = col.flatten()
-    return col.to_numpy(zero_copy_only=False)
+    try:
+        return col.to_numpy(zero_copy_only=True)  # no copy for non-null prims
+    except pa.ArrowInvalid:
+        return col.to_numpy(zero_copy_only=False)
 
 
 def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -245,8 +248,112 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     return partials
 
 
+def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
+                         ckpt_dir: str | None = None,
+                         run_id: str | None = None) -> tuple[DataFrame, int]:
+    """Phase 1, file-direct variant: distribute parquet FILE paths and let
+
+    each task read its files with pyarrow — columnar bytes go straight
+    into Python with zero JVM row<->Arrow conversion.
+
+    Rationale (measured on local[32], 7.7e8 tokens): the default
+    DataFrame path funnels every row through the JVM's InternalRow ->
+    Arrow writer inside each task thread; with one task thread + one
+    Python worker per core the box runs 2x oversubscribed and conversion
+    dominates.  Reading parquet in the worker (the Petastorm/Ray pattern)
+    removes that entirely: partials scale with the storage + memory
+    bandwidth of each node.  Catalyst still owns everything downstream
+    (merge tree, probes); this only replaces the leaf scan for the one
+    operator that consumes whole files anyway.  Returns (states_df,
+    num_leaves).
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    specs = tuple(specs)
+    cols = sorted({s.input for s in specs})
+    hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pqr
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if ckpt_dir is not None:
+            done = os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
+            if os.path.exists(done):
+                return
+        t0 = time.perf_counter()
+        accs = [_Acc(s) for s in specs]
+        n_rows = 0
+        n_tokens = 0
+        for pathbatch in batches:
+            for f in pathbatch.column("path").to_pylist():
+                pf = pqr.ParquetFile(f)
+                for batch in pf.iter_batches(batch_size=65536, columns=cols):
+                    n_rows += batch.num_rows
+                    vals = {name: _flatten_column(batch, name) for name in cols}
+                    dedup = {name: _dedup(vals[name]) for name in hash_inputs}
+                    hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
+                    if "tokens" in vals:
+                        n_tokens += len(vals["tokens"])
+                    for acc in accs:
+                        name = acc.spec.input
+                        acc.add(vals[name], hashes.get(name),
+                                dedup[name][1] if name in dedup else None)
+        build_ms = (time.perf_counter() - t0) * 1000.0
+        out = pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * len(accs), type=pa.int32()),
+                pa.array([a.spec.name for a in accs]),
+                pa.array([a.finish() for a in accs], type=pa.binary()),
+                pa.array([n_rows] * len(accs), type=pa.int64()),
+                pa.array([n_tokens] * len(accs), type=pa.int64()),
+                pa.array([build_ms] * len(accs), type=pa.float64()),
+            ],
+            schema=_STATE_PA_SCHEMA,
+        )
+        if ckpt_dir is not None:
+            os.makedirs(os.path.join(ckpt_dir, run_id), exist_ok=True)
+            tmp = done + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(pa.Table.from_batches([out]), tmp)
+            os.replace(tmp, done)
+            return
+        yield out
+
+    # parallelize slices evenly: exactly one file per task (repartition's
+    # round-robin can leave tasks empty while others carry two files)
+    paths_df = spark.sparkContext.parallelize(
+        [(f,) for f in files], len(files)).toDF(["path"])
+    partials = paths_df.mapInArrow(fn, STATE_SCHEMA)
+    if ckpt_dir is not None:
+        partials.write.format("noop").mode("overwrite").save()
+        return (spark.read.parquet(os.path.join(ckpt_dir, run_id)), len(files))
+    return partials, len(files)
+
+
+def build_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
+                fanin: int = 16, ckpt_dir: str | None = None,
+                run_id: str | None = None) -> BuildResult:
+    """End-to-end file-direct build (see build_partials_files)."""
+    partials, leaves = build_partials_files(spark, path, specs, ckpt_dir, run_id)
+    final = _finalize(partials, leaves, fanin)
+    sketches = {row["kind"]: base.from_bytes(row["state"]) for row in final}
+    return BuildResult(
+        sketches=sketches,
+        n_rows=max((r["n_rows"] for r in final), default=0),
+        n_tokens=max((r["n_tokens"] for r in final), default=0),
+        build_ms_total=max((r["build_ms"] for r in final), default=0.0),
+        num_partitions=leaves,
+    )
+
+
 def tree_merge(states: DataFrame, num_leaves: int, fanin: int = 16,
-               key_cols: tuple[str, ...] = ("kind",)) -> DataFrame:
+               key_cols: tuple[str, ...] = ("kind",),
+               target_leaves: int = 1) -> DataFrame:
     """Phase 2: fan-in-F merge tree over state rows (treeAggregate
 
     topology in DataFrame ops).  Only sketch blobs shuffle."""
@@ -269,7 +376,7 @@ def tree_merge(states: DataFrame, num_leaves: int, fanin: int = 16,
 
     df = states
     leaves = num_leaves
-    while leaves > 1:
+    while leaves > target_leaves:
         df = (df.withColumn("__bucket",
                             (F.col("partition_id") / F.lit(fanin)).cast("int"))
                 .groupBy(*key_cols, "__bucket")
@@ -290,12 +397,41 @@ class BuildResult:
         return self.sketches[name]
 
 
+def _finalize(partials: DataFrame, num_leaves: int, fanin: int,
+              driver_threshold: int = 256) -> list:
+    """treeAggregate semantics: tree-merge rounds while the state count
+
+    is large, then reduce the last <=driver_threshold states on the
+    driver (exactly where RDD.treeAggregate finishes too — collecting a
+    few hundred KB-MB blobs beats a shuffle round's fixed cost)."""
+    df = partials
+    if num_leaves > driver_threshold:
+        df = tree_merge(df, num_leaves, fanin, target_leaves=driver_threshold)
+    rows = df.collect()
+    by_kind: dict[str, list] = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    out = []
+    for kind, rs in by_kind.items():
+        rs.sort(key=lambda r: r["partition_id"])
+        sk = base.from_bytes(rs[0]["state"])
+        for r in rs[1:]:
+            sk = sk.merge(base.from_bytes(r["state"]))
+        out.append({
+            "kind": kind, "state": sk.to_bytes(),
+            "n_rows": sum(r["n_rows"] for r in rs),
+            "n_tokens": sum(r["n_tokens"] for r in rs),
+            "build_ms": sum(r["build_ms"] for r in rs),
+        })
+    return out
+
+
 def build(df: DataFrame, specs=DEFAULT_SPECS, fanin: int = 16,
           ckpt_dir: str | None = None, run_id: str | None = None) -> BuildResult:
     """End-to-end two-phase build -> final sketches on the driver."""
     num_parts = df.rdd.getNumPartitions()
     partials = build_partials(df, specs, ckpt_dir, run_id)
-    final = tree_merge(partials, num_parts, fanin).collect()
+    final = _finalize(partials, num_parts, fanin)
     sketches = {row["kind"]: base.from_bytes(row["state"]) for row in final}
     return BuildResult(
         sketches=sketches,

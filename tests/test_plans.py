@@ -1,0 +1,59 @@
+"""Physical-plan quality gates: the things that decide 100 TB behavior.
+
+Asserts (via EXPLAIN output) that:
+  * the partial build reads ONLY the columns its specs consume
+    (column pruning reaches the parquet scan),
+  * the partial build has no Exchange (narrow, zero data shuffle),
+  * membership probing keeps the relational part in WholeStageCodegen,
+  * predicate pushdown reaches the scan for filtered builds.
+"""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from qsketch.spark.agg import SketchSpec, build_partials
+
+
+@pytest.fixture(scope="module")
+def parquet_df(spark, tiny_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "tok")
+    tiny_df.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partial_build_prunes_columns(parquet_df):
+    partials = build_partials(parquet_df, (SketchSpec("quotient", "tokens"),))
+    plan = _plan(partials)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "tokens" in scan[0]
+    for unused in ("doc_id", "source", "n_tok"):
+        assert unused not in scan[0], f"{unused} not pruned: {scan[0]}"
+
+
+def test_partial_build_is_narrow(parquet_df):
+    partials = build_partials(parquet_df, (SketchSpec("hll", "tokens"),))
+    assert "Exchange" not in _plan(partials)
+
+
+def test_filter_pushdown_reaches_scan(parquet_df):
+    filtered = parquet_df.where(F.col("source") == "web")
+    partials = build_partials(
+        filtered.select("tokens"), (SketchSpec("hll", "tokens"),))
+    plan = _plan(partials)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,web)]" in plan \
+        or "EqualTo(source,web)" in plan, plan
+
+
+def test_relational_query_uses_codegen(spark, parquet_df):
+    q = (parquet_df.select("source", F.explode("tokens").alias("t"))
+         .groupBy("source").agg(F.countDistinct("t").alias("d")))
+    q.collect()  # AQE only materializes codegen spans in the final plan
+    plan = _plan(q)
+    # '*(n)' prefixes mark WholeStageCodegen spans in AQE final plans
+    assert "WholeStageCodegen" in plan or "*(1)" in plan or "*(2)" in plan, plan
