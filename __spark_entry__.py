@@ -209,6 +209,39 @@ def q_qf_fpr(spark, sf_dir):
     return fpr(build_df, absent, "token_id", "probe_id", "quotient")
 
 
+def q_qf_exclusion_membership(spark, sf_dir):
+    """Distributed remove: exclusion-set anti-join before the build
+
+    (the scale form of /v1/remove).  Excludes tokens of length <= 4,
+    then probes every token + fabricated absents."""
+    from qsketch.spark.queries import build_excluding
+
+    toks = token_ids(_doc_tokens(spark, sf_dir))
+    excl = toks.where(F.length("token") <= 4).select("token_id")
+    qf = build_excluding(toks.select("token_id"), excl, "token_id", "token_id")
+    probes = token_ids(_probes(spark, sf_dir), "probe", "probe_id")
+    return (with_membership(probes, "probe_id", qf.to_bytes(), "is_member")
+            .select("probe", "is_member"))
+
+
+def q_qf_remove_membership(spark, sf_dir):
+    """Local remove on the merged state (parity with the reference's
+
+    Remove): build over ALL tokens, then delete the short ones from the
+    final filter; must be indistinguishable from never inserting them."""
+    from qsketch.spark.queries import remove_keys
+
+    toks = token_ids(_doc_tokens(spark, sf_dir))
+    res = build(toks.select("token_id"), (SketchSpec("quotient", "token_id"),))
+    removal = [r["token_id"] for r in
+               toks.where(F.length("token") <= 4)
+                   .select("token_id").distinct().collect()]
+    state = remove_keys(res.sketches["quotient:token_id"].to_bytes(), removal)
+    probes = token_ids(_probes(spark, sf_dir), "probe", "probe_id")
+    return (with_membership(probes, "probe_id", state, "is_member")
+            .select("probe", "is_member"))
+
+
 # ---- training-data pipeline ops (dedup / similarity / text analysis)
 
 
@@ -274,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens_exact": q_distinct_tokens_exact,
         "source_token_stats": q_source_token_stats,
         "qf_membership": q_qf_membership,
+        "qf_exclusion_membership": q_qf_exclusion_membership,
+        "qf_remove_membership": q_qf_remove_membership,
         "bloom_membership": q_bloom_membership,
         "qf_cardinality_by_source": q_qf_cardinality_by_source,
         "events_distinct_users_exact": q_events_distinct_users_exact,
@@ -322,6 +357,12 @@ def oracle_sql() -> dict[str, str]:
         "qf_membership": _TOKS_CTE + ", " + probes + (
             " SELECT probe, probe IN (SELECT token FROM tok) AS is_member"
             " FROM probes"),
+        "qf_exclusion_membership": _TOKS_CTE + ", " + probes + (
+            " SELECT probe, probe IN (SELECT token FROM tok"
+            " WHERE length(token) > 4) AS is_member FROM probes"),
+        "qf_remove_membership": _TOKS_CTE + ", " + probes + (
+            " SELECT probe, probe IN (SELECT token FROM tok"
+            " WHERE length(token) > 4) AS is_member FROM probes"),
         "bloom_membership": _TOKS_CTE + ", " + probes + (
             " SELECT probe, probe IN (SELECT token FROM tok) AS is_member"
             " FROM probes"),

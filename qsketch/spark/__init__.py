@@ -1,0 +1,18 @@
+"""Spark layer: two-phase sketch aggregation + query surface.
+
+Import submodules lazily-ish (they require a SparkSession at call time,
+not import time):
+
+    from qsketch.spark.agg import build, build_files, SketchSpec
+    from qsketch.spark.queries import membership, cardinality, quantiles
+    from qsketch.spark.textops import near_duplicates, dedupe_exact
+    from qsketch.spark.similarity import cosine_topk_bruteforce
+    from qsketch.spark.streaming import stream_build
+    from qsketch.spark.sqlfns import register_membership
+    from qsketch.spark.session import make_session
+"""
+
+from . import agg, io, multimodal, queries, session, similarity, sqlfns, streaming, textops  # noqa: F401
+
+__all__ = ["agg", "io", "multimodal", "queries", "session", "similarity",
+           "sqlfns", "streaming", "textops"]

@@ -105,6 +105,38 @@ def quantiles(df: DataFrame, col: str, qs: list[float],
         pd.DataFrame({"q": qs, "value": np.asarray(vals, dtype=np.float64)}))
 
 
+def build_excluding(build_df: DataFrame, exclude_df: DataFrame,
+                    build_col: str, exclude_col: str,
+                    kind: str = "quotient", params: dict | None = None):
+    """remove() at scale: the distributed form of the reference's
+
+    /v1/remove (/root/reference/filter.go:83-108) is an EXCLUSION SET
+    applied before the build — a broadcast anti-semi-join, so the big
+    side never shuffles.  (For an already-built filter, QuotientFilter
+    .remove() deletes locally on the merged state.)"""
+    from .agg import build as _build
+
+    filtered = build_df.join(
+        F.broadcast(exclude_df.select(F.col(exclude_col).alias(build_col))
+                    .distinct()),
+        build_col, "anti")
+    spec = SketchSpec(kind, build_col, params or {})
+    return _build(filtered, (spec,)).sketches[spec.name]
+
+
+def remove_keys(state_bytes: bytes, values) -> bytes:
+    """Local remove on a finished filter state (parity with the
+
+    reference's Remove: /root/reference/filter.go:83-108)."""
+    import numpy as np
+
+    from ..quotient import QuotientFilter
+
+    qf = QuotientFilter.from_bytes(state_bytes)
+    qf.remove(np.asarray(values))
+    return qf.to_bytes()
+
+
 def fpr(build_df: DataFrame, probe_df: DataFrame, build_col: str,
         probe_col: str, kind: str = "quotient",
         params: dict | None = None) -> DataFrame:

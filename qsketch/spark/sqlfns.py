@@ -1,0 +1,62 @@
+"""SQL surface: register sketch probes as Spark SQL functions.
+
+Lets SQL users consume finished sketch states without touching the
+Python API:
+
+    register_membership(spark, "qf_contains", state_bytes)
+    spark.sql("SELECT token, qf_contains(token_id) AS hit FROM toks")
+
+Each registration broadcasts one state and binds a vectorized
+pandas_udf under the given name (Arrow-batched, deserialized once per
+executor).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from .agg import _cached_sketch
+
+
+def register_membership(spark: SparkSession, name: str,
+                        sketch_bytes: bytes) -> None:
+    bc = spark.sparkContext.broadcast(sketch_bytes)
+    token = uuid.uuid4().hex
+
+    @pandas_udf("boolean")
+    def fn(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(token, bc.value)
+        return pd.Series(sk.contains(s.to_numpy()))
+
+    spark.udf.register(name, fn)
+
+
+def register_frequency(spark: SparkSession, name: str,
+                       cms_bytes: bytes) -> None:
+    bc = spark.sparkContext.broadcast(cms_bytes)
+    token = uuid.uuid4().hex
+
+    @pandas_udf("long")
+    def fn(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(token, bc.value)
+        return pd.Series(sk.estimate(s.to_numpy()))
+
+    spark.udf.register(name, fn)
+
+
+def register_fingerprint(spark: SparkSession, name: str = "fnv1a64") -> None:
+    """Reference-parity FNV-1a64 fingerprints from SQL (filter.go:134)."""
+    from ..hash import fnv1a64
+
+    @pandas_udf("long")
+    def fn(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(fnv1a64(s.to_numpy()).view("int64"))
+
+    spark.udf.register(name, fn)

@@ -1,0 +1,52 @@
+"""SQL-registered sketch functions + salting helper."""
+
+import numpy as np
+
+import pyspark.sql.functions as F
+
+from qsketch.spark.agg import SketchSpec, build
+from qsketch.spark.io import salted
+from qsketch.spark.sqlfns import (
+    register_fingerprint,
+    register_frequency,
+    register_membership,
+)
+
+
+def test_sql_membership_and_frequency(spark, tiny_df):
+    res = build(tiny_df, (SketchSpec("quotient", "tokens"),
+                          SketchSpec("cms", "tokens")))
+    register_membership(spark, "qf_contains",
+                        res.sketches["quotient:tokens"].to_bytes())
+    register_frequency(spark, "cms_freq",
+                       res.sketches["cms:tokens"].to_bytes())
+    tiny_df.select(F.explode("tokens").alias("t")) \
+           .createOrReplaceTempView("toks")
+    rows = spark.sql("""
+        SELECT t, qf_contains(t) AS hit, cms_freq(t) AS freq
+        FROM (SELECT DISTINCT t FROM toks) LIMIT 100
+    """).collect()
+    assert all(r["hit"] for r in rows)
+    assert all(r["freq"] >= 1 for r in rows)
+    miss = spark.sql("SELECT qf_contains(CAST(987654321 AS BIGINT)) AS h").first()
+    assert miss["h"] is False or miss["h"] == False  # noqa: E712
+
+
+def test_sql_fingerprint_parity(spark):
+    from qsketch.hash import fnv1a64
+
+    register_fingerprint(spark, "fnv64")
+    rows = spark.sql(
+        "SELECT id, fnv64(id) AS fp FROM range(0, 100)").collect()
+    expect = fnv1a64(np.arange(100, dtype=np.int64)).view(np.int64)
+    for r in rows:
+        assert r["fp"] == int(expect[r["id"]])
+
+
+def test_salted_deterministic_and_spread(spark, tiny_df):
+    s1 = salted(tiny_df, "source", 16).select("doc_id", "__salt").collect()
+    s2 = salted(tiny_df, "source", 16).select("doc_id", "__salt").collect()
+    assert {r["doc_id"]: r["__salt"] for r in s1} == \
+           {r["doc_id"]: r["__salt"] for r in s2}
+    vals = {r["__salt"] for r in s1}
+    assert vals <= set(range(16)) and len(vals) >= 12  # spread across buckets
