@@ -541,6 +541,34 @@ def with_membership(df: DataFrame, values_col: str, sketch_bytes: bytes,
     return df.withColumn(out_col, is_member(F.col(values_col)))
 
 
+def with_membership_timed(df: DataFrame, values_col: str, sketch_bytes: bytes,
+                          out_col: str = "probe") -> DataFrame:
+    """Membership + per-probe latency telemetry, mirroring the reference's
+
+    ``Exists -> (bool, elapsed)`` response shape
+    (/root/reference/filter.go:57-58, server.go:27): returns a struct
+    column ``(is_member boolean, elapsed_ns long)`` where elapsed_ns is
+    the amortized per-probe cost of the vectorized batch."""
+    import time as _time
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sketch_bytes)
+    token = uuid.uuid4().hex
+
+    @pandas_udf("is_member boolean, elapsed_ns long")
+    def probe(s: pd.Series) -> pd.DataFrame:
+        sk = _cached_sketch(token, bc.value)
+        t0 = _time.perf_counter_ns()
+        hit = sk.contains(s.to_numpy())
+        per = (_time.perf_counter_ns() - t0) // max(len(s), 1)
+        return pd.DataFrame({"is_member": hit,
+                             "elapsed_ns": np.full(len(s), per, dtype=np.int64)})
+
+    return df.withColumn(out_col, probe(F.col(values_col)))
+
+
 def with_frequency(df: DataFrame, values_col: str, cms_bytes: bytes,
                    out_col: str = "est_count") -> DataFrame:
     """Broadcast a count-min sketch; vectorized point-frequency column."""

@@ -50,3 +50,31 @@ def test_salted_deterministic_and_spread(spark, tiny_df):
            {r["doc_id"]: r["__salt"] for r in s2}
     vals = {r["__salt"] for r in s1}
     assert vals <= set(range(16)) and len(vals) >= 12  # spread across buckets
+
+
+def test_membership_timed_struct(spark, tiny_df):
+    """Parity with the reference's (bool, elapsed) Exists response."""
+    from qsketch.spark.agg import with_membership_timed
+
+    res = build(tiny_df, (SketchSpec("quotient", "tokens"),))
+    probes = tiny_df.select(F.explode("tokens").alias("t")).distinct().limit(50)
+    rows = (with_membership_timed(probes, "t",
+                                  res.sketches["quotient:tokens"].to_bytes())
+            .select("t", "probe.is_member", "probe.elapsed_ns").collect())
+    assert all(r["is_member"] for r in rows)
+    assert all(r["elapsed_ns"] >= 0 for r in rows)
+
+
+def test_reference_default_logsize22(spark):
+    """config.go:39 parity: the reference's default capacity is 2^22."""
+    import numpy as np
+    from qsketch.quotient import QuotientFilter
+
+    qf = QuotientFilter(q_bits=22)
+    assert qf.capacity == 4_194_304
+    keys = np.arange(2_000_000)  # ~48% load, like the FN test's 50%
+    qf.insert(keys)
+    assert qf.cardinality() == 2_000_000
+    assert not qf.contains(np.arange(5_000_000, 5_010_000)).any()
+    rt = QuotientFilter.from_bytes(qf.to_bytes())
+    assert rt.contains(np.arange(0, 2_000_000, 997)).all()
