@@ -154,6 +154,8 @@ def _flatten_column(batch: pa.RecordBatch, name: str) -> np.ndarray:
     col = batch.column(name)
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         col = col.flatten()
+    if col.null_count:
+        col = col.drop_null()  # null tokens would decay to NaN floats
     try:
         return col.to_numpy(zero_copy_only=True)  # no copy for non-null prims
     except pa.ArrowInvalid:
@@ -511,11 +513,14 @@ def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
 # ---------------- probe side ----------------------------------------------
 
 _SKETCH_CACHE: dict[str, object] = {}
+_SKETCH_CACHE_MAX = 16  # per-worker; evict oldest beyond this
 
 
 def _cached_sketch(token: str, blob: bytes):
     sk = _SKETCH_CACHE.get(token)
     if sk is None:
+        if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
         sk = base.from_bytes(blob)
         _SKETCH_CACHE[token] = sk
     return sk

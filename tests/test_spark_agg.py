@@ -176,3 +176,18 @@ def test_partials_schema_and_narrowness(tiny_df):
     assert len(rows) == tiny_df.rdd.getNumPartitions()
     plan = partials._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_null_tokens_are_dropped(spark):
+    """A user table with NULL entries inside token arrays must not decay
+    the batch to floats or poison fingerprints."""
+    df = spark.createDataFrame(
+        [(1, [1, None, 3]), (2, None), (3, [5])],
+        "doc_id long, tokens array<int>")
+    res = build(df.where("tokens IS NOT NULL"),
+                (SketchSpec("quotient", "tokens"),))
+    qf = res.sketches["quotient:tokens"]
+    assert qf.cardinality() == 3  # {1, 3, 5}
+    import numpy as np
+    assert qf.contains(np.array([1, 3, 5])).all()
+    assert not qf.contains(np.array([2, 4])).any()
