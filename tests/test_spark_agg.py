@@ -191,3 +191,29 @@ def test_null_tokens_are_dropped(spark):
     import numpy as np
     assert qf.contains(np.array([1, 3, 5])).all()
     assert not qf.contains(np.array([2, 4])).any()
+
+
+def test_finalize_large_fleet_tree_path(spark):
+    """>256 partials: tree rounds reduce to <=256, driver finishes.
+    Simulates a 600-executor fleet with tiny synthetic states; result
+    must equal a flat reduce of all parts."""
+    import functools
+    import pandas as pd
+    from qsketch.quotient import QuotientFilter
+    from qsketch.spark.agg import STATE_SCHEMA, _finalize
+
+    parts = [QuotientFilter.build(np.arange(i * 10, i * 10 + 20))
+             for i in range(600)]
+    pdf = pd.DataFrame({
+        "partition_id": range(600),
+        "kind": "quotient:tokens",
+        "state": [p.to_bytes() for p in parts],
+        "n_rows": 1, "n_tokens": 20, "build_ms": 0.0,
+    })
+    states = spark.createDataFrame(pdf, STATE_SCHEMA)
+    final = _finalize(states, 600, fanin=16)
+    assert len(final) == 1 and final[0]["n_tokens"] == 600 * 20
+    expect = functools.reduce(lambda a, b: a.merge(b), parts)
+    assert final[0]["state"] == expect.to_bytes()
+    got = base.from_bytes(final[0]["state"])
+    assert got.cardinality() == expect.cardinality() == 600 * 10 + 10
