@@ -291,6 +291,18 @@ def q_cosine_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN scale path: deterministic k-means cells + n_probe
+    scan + exact re-rank (rows-only; recall asserted in pytest)."""
+    from qsketch.spark.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    qs = (emb.where(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return cosine_topk_ivf(emb, qs, dim=dim, k=10, n_cells=16, n_probe=6)
+
+
 def q_cosine_topk_lsh(spark, sf_dir):
     from qsketch.spark.similarity import cosine_topk_lsh
 
@@ -325,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
     }
 
 

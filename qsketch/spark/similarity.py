@@ -102,6 +102,96 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
         fn, f"{id_col} long, table int, bucket long")
 
 
+def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,
+                        sample: int = 4096, iters: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 0x1F5) -> np.ndarray:
+    """Deterministic spherical k-means centroids from a hash-sampled
+
+    subset (no RNG on workers: the sample is ``xxhash-style`` selected by
+    id, initial centroids are splitmix-chosen sample rows, Lloyd
+    iterations run driver-side on the small sample)."""
+    from ..hash import splitmix64
+
+    total = corpus.count()
+    frac_mod = max(1, total // sample)
+    samp = (corpus.select(id_col, vec_col)
+            .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+            .limit(sample).collect())
+    x = np.asarray([r[vec_col] for r in samp], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(x))
+    idx = (splitmix64(np.arange(n_cells, dtype=np.uint64) + np.uint64(seed))
+           % np.uint64(len(x))).astype(np.int64)
+    cent = x[np.unique(idx)]
+    while len(cent) < n_cells:  # pad duplicates-collapsed init
+        cent = np.vstack([cent, x[len(cent) % len(x)]])
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) — vectorized nearest-centroid assignment per batch."""
+    cent = np.ascontiguousarray(centroids)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            cells = (vecs @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(cells)], names=[id_col, "cell"])
+
+    return df.select(id_col, vec_col).mapInArrow(fn, f"{id_col} long, cell int")
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, n_cells: int = 64, n_probe: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF-flat ANN: corpus bucketed by nearest centroid; each query
+
+    scans its ``n_probe`` closest cells; exact cosine re-ranks the
+    candidates.  At 100 TB the assignment is a narrow pass, the bucketed
+    corpus is written partitioned by cell, and a query touches
+    n_probe/n_cells of the data."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, dim, n_cells,
+                                        id_col=id_col, vec_col=vec_col)
+    ck = ivf_assign(corpus, centroids, id_col, vec_col)
+    qrows = queries.collect()
+    qv = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    pairs = [(int(r[query_id_col]), int(c))
+             for r, cells in zip(qrows, probe_cells) for c in cells]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
+    cand = (ck.join(F.broadcast(probes), "cell")
+              .select(query_id_col, id_col).distinct())
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    scored = (cand.join(corpus.select(id_col, vec_col), id_col)
+                  .join(F.broadcast(q), query_id_col)
+                  .select(query_id_col, id_col,
+                          (_dot_expr(vec_col, "__qvec")
+                           / (_norm_expr(vec_col) * _norm_expr("__qvec")))
+                          .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "cosine", "rank"))
+
+
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
                     k: int = 10, n_bits: int = 12, n_tables: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",

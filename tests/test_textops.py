@@ -168,3 +168,28 @@ def test_multimodal_plumbing(spark):
     vids = media.where("media_type = 'video'").select("media_id", "n_frames").collect()
     expect = sum(1 + (r["n_frames"] - 1) // 7 for r in vids)
     assert len(rows) == expect
+
+
+def test_cosine_topk_ivf_recall(spark):
+    from qsketch.spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(300, 32)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, vecs[11].tolist()), (1, vecs[222].tolist())],
+        "query_id long, embedding array<float>")
+    exact = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    approx = cosine_topk_ivf(corpus, queries, dim=32, k=5,
+                             n_cells=16, n_probe=6).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, (recall, ex - ap)
+    # deterministic: same call twice -> identical results
+    again = {(r["query_id"], r["vec_id"]) for r in
+             cosine_topk_ivf(corpus, queries, dim=32, k=5,
+                             n_cells=16, n_probe=6).collect()}
+    assert ap == again
