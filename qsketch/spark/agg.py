@@ -162,6 +162,9 @@ def _flatten_column(batch: pa.RecordBatch, name: str) -> np.ndarray:
         return col.to_numpy(zero_copy_only=False)
 
 
+_DEDUP_SCRATCH = np.empty(0, dtype=np.int64)
+
+
 def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(unique values, counts) — THE scale lever of the partial phase.
 
@@ -169,12 +172,30 @@ def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     hashing/sketching unique values with multiplicities shrinks the
     scatter-update working set by orders of magnitude and turns a
     memory-bandwidth-bound build into a compute-bound one.  Small-domain
-    ints take the O(n) bincount path (no sort)."""
+    ints take the O(n) bincount path (no sort), staged through a reused
+    per-worker int64 scratch buffer: np.bincount would otherwise
+    allocate a fresh 8B*n cast every batch, and on fault-constrained
+    hosts (see session.py) fresh pages are ~100x dearer than warm ones.
+    """
+    global _DEDUP_SCRATCH
     if values.dtype.kind in "iu" and values.size:
         lo = int(values.min())
         hi = int(values.max())
         if 0 <= lo and hi < (1 << 22):
-            counts = np.bincount(values)
+            n = values.size
+            if values.dtype == np.intp:
+                counts = np.bincount(values)  # already intp: no cast at all
+            else:
+                cap = 1 << 24  # retain at most 128MB of scratch per worker
+                if _DEDUP_SCRATCH.size < n:
+                    _DEDUP_SCRATCH = np.empty(min(max(n, 1 << 20), cap),
+                                              dtype=np.int64)
+                if n <= _DEDUP_SCRATCH.size:
+                    buf = _DEDUP_SCRATCH[:n]
+                    np.copyto(buf, values, casting="unsafe")
+                else:  # oversized batch: transient cast, don't pin it
+                    buf = values.astype(np.int64)
+                counts = np.bincount(buf)
             uniq = np.flatnonzero(counts)
             return uniq.astype(values.dtype), counts[uniq]
     return np.unique(values, return_counts=True)
