@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--fanin", type=int, default=16)
     args = ap.parse_args(argv)
+    if args.ckpt and not args.run_id:
+        args.run_id = "default"
 
     from pyspark.sql import SparkSession
 

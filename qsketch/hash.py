@@ -33,6 +33,14 @@ def fnv1a64(values: np.ndarray) -> np.ndarray:
     Go ``fnv.New64a().Write(le8(v))`` with 8 unrolled vector passes.
     """
     v = np.ascontiguousarray(values)
+    if v.dtype.kind == "f" or v.dtype == object:
+        # floats silently round |x| > 2**53 (e.g. a nullable long column
+        # that pandas widened to float64) — corrupt fingerprints would
+        # break the zero-false-negative contract, so fail loudly.
+        raise TypeError(
+            f"fnv1a64 requires integer input, got {v.dtype}; for nullable "
+            "columns coalesce nulls JVM-side, for strings use "
+            "fnv1a64_str_array")
     if v.dtype != np.uint64:
         # int32/int64 -> uint64 with two's-complement reinterpretation
         v = v.astype(np.int64, copy=False).view(np.uint64)

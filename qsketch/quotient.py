@@ -266,9 +266,9 @@ class QuotientFilter:
         /root/reference/filter.go:83-108).  Returns per-value bool:
         present-and-removed.
         """
-        probe = np.unique(_keys_from_hashes(self._hash(values),
-                                            self.q_bits, self.r_bits))
-        hit = self.contains(values)
+        h = self._hash(values)
+        probe = np.unique(_keys_from_hashes(h, self.q_bits, self.r_bits))
+        hit = self.contains_hashes(h)
         self._keys = np.setdiff1d(self._keys, probe, assume_unique=True)
         return hit
 

@@ -201,6 +201,62 @@ def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.unique(values, return_counts=True)
 
 
+def _ckpt_file(ckpt_dir: str, run_id: str, pid: int) -> str:
+    return os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
+
+
+class _PartitionAcc:
+    """Shared per-partition accumulation loop for both scan variants."""
+
+    def __init__(self, specs: tuple[SketchSpec, ...]):
+        self.specs = specs
+        self.accs = [_Acc(s) for s in specs]
+        self.inputs = sorted({s.input for s in specs})
+        self.hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+        self.n_rows = 0
+        self.n_tokens = 0
+        self.t0 = time.perf_counter()
+
+    def consume(self, batch: pa.RecordBatch) -> None:
+        self.n_rows += batch.num_rows
+        vals = {name: _flatten_column(batch, name) for name in self.inputs}
+        dedup = {name: _dedup(vals[name]) for name in self.hash_inputs}
+        hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
+        if "tokens" in vals:
+            self.n_tokens += len(vals["tokens"])
+        for acc in self.accs:
+            name = acc.spec.input
+            acc.add(vals[name], hashes.get(name),
+                    dedup[name][1] if name in dedup else None)
+
+    def to_record_batch(self, pid: int) -> pa.RecordBatch:
+        build_ms = (time.perf_counter() - self.t0) * 1000.0
+        n = len(self.accs)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * n, type=pa.int32()),
+                pa.array([a.spec.name for a in self.accs]),
+                pa.array([a.finish() for a in self.accs], type=pa.binary()),
+                pa.array([self.n_rows] * n, type=pa.int64()),
+                pa.array([self.n_tokens] * n, type=pa.int64()),
+                pa.array([build_ms] * n, type=pa.float64()),
+            ],
+            schema=_STATE_PA_SCHEMA,
+        )
+
+
+def _commit_state(out: pa.RecordBatch, done: str) -> None:
+    """Atomic per-partition state commit.  The temp name starts with '.'
+    so a crash between write and rename leaves a file Spark's parquet
+    reader IGNORES on resume — a visible leftover would be read as an
+    extra state row and double-count the partition."""
+    d = os.path.dirname(done)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(pa.Table.from_batches([out]), tmp)
+    os.replace(tmp, done)
+
+
 def _partial_builder(specs: tuple[SketchSpec, ...], ckpt_dir: str | None,
                      run_id: str | None):
     """Returns the mapInArrow function building all specs in one pass."""
@@ -210,43 +266,15 @@ def _partial_builder(specs: tuple[SketchSpec, ...], ckpt_dir: str | None,
 
         pid = TaskContext.get().partitionId()
         if ckpt_dir is not None:
-            done = os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
+            done = _ckpt_file(ckpt_dir, run_id, pid)
             if os.path.exists(done):
                 return  # resume: input iterator never consumed
-        t0 = time.perf_counter()
-        accs = [_Acc(s) for s in specs]
-        inputs = sorted({s.input for s in specs})
-        hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
-        n_rows = 0
-        n_tokens = 0
+        pacc = _PartitionAcc(specs)
         for batch in batches:
-            n_rows += batch.num_rows
-            vals = {name: _flatten_column(batch, name) for name in inputs}
-            dedup = {name: _dedup(vals[name]) for name in hash_inputs}
-            hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
-            if "tokens" in vals:
-                n_tokens += len(vals["tokens"])
-            for acc in accs:
-                name = acc.spec.input
-                acc.add(vals[name], hashes.get(name),
-                        dedup[name][1] if name in dedup else None)
-        build_ms = (time.perf_counter() - t0) * 1000.0
-        out = pa.RecordBatch.from_arrays(
-            [
-                pa.array([pid] * len(accs), type=pa.int32()),
-                pa.array([a.spec.name for a in accs]),
-                pa.array([a.finish() for a in accs], type=pa.binary()),
-                pa.array([n_rows] * len(accs), type=pa.int64()),
-                pa.array([n_tokens] * len(accs), type=pa.int64()),
-                pa.array([build_ms] * len(accs), type=pa.float64()),
-            ],
-            schema=_STATE_PA_SCHEMA,
-        )
+            pacc.consume(batch)
+        out = pacc.to_record_batch(pid)
         if ckpt_dir is not None:
-            os.makedirs(os.path.join(ckpt_dir, run_id), exist_ok=True)
-            tmp = done + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(pa.Table.from_batches([out]), tmp)
-            os.replace(tmp, done)  # atomic per-partition commit
+            _commit_state(out, done)
             return
         yield out
 
@@ -262,6 +290,8 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     selected so scan pruning pushes down (ReadSchema shrinks)."""
     cols = sorted({s.input for s in specs})
     proj = df.select(*cols)
+    if ckpt_dir is not None and run_id is None:
+        run_id = "default"
     fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
     partials = proj.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
@@ -297,7 +327,8 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         raise FileNotFoundError(f"no parquet files under {path}")
     specs = tuple(specs)
     cols = sorted({s.input for s in specs})
-    hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+    if ckpt_dir is not None and run_id is None:
+        run_id = "default"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pqr
@@ -306,44 +337,18 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
 
         pid = TaskContext.get().partitionId()
         if ckpt_dir is not None:
-            done = os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
+            done = _ckpt_file(ckpt_dir, run_id, pid)
             if os.path.exists(done):
                 return
-        t0 = time.perf_counter()
-        accs = [_Acc(s) for s in specs]
-        n_rows = 0
-        n_tokens = 0
+        pacc = _PartitionAcc(specs)
         for pathbatch in batches:
             for f in pathbatch.column("path").to_pylist():
                 pf = pqr.ParquetFile(f)
                 for batch in pf.iter_batches(batch_size=65536, columns=cols):
-                    n_rows += batch.num_rows
-                    vals = {name: _flatten_column(batch, name) for name in cols}
-                    dedup = {name: _dedup(vals[name]) for name in hash_inputs}
-                    hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
-                    if "tokens" in vals:
-                        n_tokens += len(vals["tokens"])
-                    for acc in accs:
-                        name = acc.spec.input
-                        acc.add(vals[name], hashes.get(name),
-                                dedup[name][1] if name in dedup else None)
-        build_ms = (time.perf_counter() - t0) * 1000.0
-        out = pa.RecordBatch.from_arrays(
-            [
-                pa.array([pid] * len(accs), type=pa.int32()),
-                pa.array([a.spec.name for a in accs]),
-                pa.array([a.finish() for a in accs], type=pa.binary()),
-                pa.array([n_rows] * len(accs), type=pa.int64()),
-                pa.array([n_tokens] * len(accs), type=pa.int64()),
-                pa.array([build_ms] * len(accs), type=pa.float64()),
-            ],
-            schema=_STATE_PA_SCHEMA,
-        )
+                    pacc.consume(batch)
+        out = pacc.to_record_batch(pid)
         if ckpt_dir is not None:
-            os.makedirs(os.path.join(ckpt_dir, run_id), exist_ok=True)
-            tmp = done + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(pa.Table.from_batches([out]), tmp)
-            os.replace(tmp, done)
+            _commit_state(out, done)
             return
         yield out
 
@@ -536,6 +541,8 @@ def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
 _SKETCH_CACHE: dict[str, object] = {}
 _SKETCH_CACHE_MAX = 16  # per-worker; evict oldest beyond this
 
+_NULL_SENTINEL = -(2**63)  # stands in for NULL so pandas never sees NaN
+
 
 def _cached_sketch(token: str, blob: bytes):
     sk = _SKETCH_CACHE.get(token)
@@ -545,6 +552,23 @@ def _cached_sketch(token: str, blob: bytes):
         sk = base.from_bytes(blob)
         _SKETCH_CACHE[token] = sk
     return sk
+
+
+def _null_safe_probe(df: DataFrame, values_col: str, udf_fn, out_col: str,
+                     out_type: str) -> DataFrame:
+    """Apply a probe UDF null-safely WITHOUT losing int64 precision.
+
+    A nullable long column reaches pandas as float64 (NaN for nulls),
+    silently rounding |id| > 2**53 — which turns exact membership into
+    mass false negatives.  Coalescing to a sentinel keeps the Arrow
+    column non-nullable (pandas stays int64); null inputs then yield
+    NULL output (SQL semantics)."""
+    guarded = F.coalesce(F.col(values_col).cast("long"),
+                         F.lit(_NULL_SENTINEL))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(values_col).isNull(),
+               F.lit(None).cast(out_type)).otherwise(udf_fn(guarded)))
 
 
 def with_membership(df: DataFrame, values_col: str, sketch_bytes: bytes,
@@ -564,7 +588,7 @@ def with_membership(df: DataFrame, values_col: str, sketch_bytes: bytes,
         sk = _cached_sketch(token, bc.value)
         return pd.Series(sk.contains(s.to_numpy()))
 
-    return df.withColumn(out_col, is_member(F.col(values_col)))
+    return _null_safe_probe(df, values_col, is_member, out_col, "boolean")
 
 
 def with_membership_timed(df: DataFrame, values_col: str, sketch_bytes: bytes,
@@ -592,7 +616,8 @@ def with_membership_timed(df: DataFrame, values_col: str, sketch_bytes: bytes,
         return pd.DataFrame({"is_member": hit,
                              "elapsed_ns": np.full(len(s), per, dtype=np.int64)})
 
-    return df.withColumn(out_col, probe(F.col(values_col)))
+    return _null_safe_probe(df, values_col, probe, out_col,
+                            "struct<is_member:boolean,elapsed_ns:bigint>")
 
 
 def with_frequency(df: DataFrame, values_col: str, cms_bytes: bytes,
@@ -609,4 +634,4 @@ def with_frequency(df: DataFrame, values_col: str, cms_bytes: bytes,
         sk = _cached_sketch(token, bc.value)
         return pd.Series(sk.estimate(s.to_numpy()))
 
-    return df.withColumn(out_col, freq(F.col(values_col)))
+    return _null_safe_probe(df, values_col, freq, out_col, "long")

@@ -82,6 +82,8 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bit_w = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             ids = batch.column(id_col)
             vecs = np.asarray(batch.column(vec_col).to_pylist(),
                               dtype=np.float64)
@@ -143,6 +145,8 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
             vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             cells = (vecs @ cent.T).argmax(axis=1).astype(np.int32)

@@ -50,13 +50,24 @@ def register_frequency(spark: SparkSession, name: str,
 
 
 def register_fingerprint(spark: SparkSession, name: str = "fnv1a64") -> None:
-    """Reference-parity FNV-1a64 fingerprints from SQL (filter.go:134)."""
-    from ..hash import fnv1a64
+    """Reference-parity FNV-1a64 fingerprints from SQL (filter.go:134):
+
+    integer columns hash their 8-byte LE encoding; string columns hash
+    their UTF-8 bytes (exactly /root/reference/server.go:100)."""
+    from ..hash import fnv1a64, fnv1a64_str_array
 
     @pandas_udf("long")
     def fn(s: pd.Series) -> pd.Series:
         import numpy as np
 
-        return pd.Series(fnv1a64(s.to_numpy()).view("int64"))
+        arr = s.to_numpy()
+        if arr.dtype == object:  # string column
+            mask = pd.notna(s)
+            out = np.zeros(len(s), dtype=np.uint64)
+            if mask.any():
+                out[mask.to_numpy()] = fnv1a64_str_array(
+                    [x for x in arr[mask.to_numpy()]])
+            return pd.Series(out.view(np.int64)).where(mask, other=pd.NA)
+        return pd.Series(fnv1a64(arr).view("int64"))
 
     spark.udf.register(name, fn)

@@ -27,41 +27,63 @@ from .agg import DEFAULT_SPECS, build
 
 
 class SketchStateStore:
-    """Tiny file-backed state: one blob per sketch kind + epoch marker."""
+    """File-backed state with crash-safe epoch commits.
+
+    Each commit writes a fresh ``epoch-N/`` directory with every blob,
+    then atomically replaces the ``CURRENT`` pointer file.  A crash at
+    ANY point leaves CURRENT at the previous epoch, so a replayed
+    micro-batch regenerates epoch-N from the N-1 state instead of
+    double-applying into already-merged blobs (CMS/KLL weights are not
+    idempotent under re-merge).
+    """
 
     def __init__(self, state_dir: str):
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
 
-    def _path(self, kind: str) -> str:
-        return os.path.join(self.state_dir, kind.replace(":", "__") + ".bin")
-
-    def load(self) -> dict[str, object]:
-        out = {}
-        for f in os.listdir(self.state_dir):
-            if f.endswith(".bin"):
-                with open(os.path.join(self.state_dir, f), "rb") as fh:
-                    sk = base.from_bytes(fh.read())
-                out[f[:-4].replace("__", ":")] = sk
-        return out
+    def _current(self) -> dict | None:
+        p = os.path.join(self.state_dir, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
 
     def last_epoch(self) -> int:
-        p = os.path.join(self.state_dir, "_epoch.json")
-        if not os.path.exists(p):
-            return -1
-        with open(p) as fh:
-            return json.load(fh)["epoch"]
+        cur = self._current()
+        return cur["epoch"] if cur else -1
+
+    def load(self) -> dict[str, object]:
+        cur = self._current()
+        if cur is None:
+            return {}
+        d = os.path.join(self.state_dir, cur["dir"])
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".bin"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    out[f[:-4].replace("__", ":")] = base.from_bytes(fh.read())
+        return out
 
     def commit(self, sketches: dict[str, object], epoch: int) -> None:
+        dirname = f"epoch-{epoch:012d}"
+        d = os.path.join(self.state_dir, dirname)
+        os.makedirs(d, exist_ok=True)
         for kind, sk in sketches.items():
-            tmp = self._path(kind) + ".tmp"
+            tmp = os.path.join(d, f".tmp-{kind.replace(':', '__')}")
             with open(tmp, "wb") as fh:
                 fh.write(sk.to_bytes())
-            os.replace(tmp, self._path(kind))
-        tmp = os.path.join(self.state_dir, "_epoch.json.tmp")
+            os.replace(tmp, os.path.join(d, kind.replace(":", "__") + ".bin"))
+        prev = self._current()
+        tmp = os.path.join(self.state_dir, "CURRENT.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch}, fh)
-        os.replace(tmp, os.path.join(self.state_dir, "_epoch.json"))
+            json.dump({"epoch": epoch, "dir": dirname}, fh)
+        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+        # prune superseded epoch dirs (best effort)
+        if prev and prev["dir"] != dirname:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.state_dir, prev["dir"]),
+                          ignore_errors=True)
 
 
 def stream_build(stream_df: DataFrame, state_dir: str, specs=DEFAULT_SPECS,
@@ -78,7 +100,7 @@ def stream_build(stream_df: DataFrame, state_dir: str, specs=DEFAULT_SPECS,
         if epoch <= store.last_epoch():  # replayed micro-batch: skip
             return
         if batch_df.isEmpty():
-            store.commit({}, epoch)
+            store.commit(store.load(), epoch)  # carry state forward
             return
         res = build(batch_df, specs)
         current = store.load()

@@ -95,7 +95,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             ids = batch.column(id_col)
             texts = batch.column(text_col).to_pylist()
             sigs = [
-                _minhash_sig(_shingle_hashes(t.split(" "), shingle_n),
+                _minhash_sig(_shingle_hashes(t.split(" ") if t else [],
+                                             shingle_n),
                              mults, adds).view(np.int64)
                 for t in texts
             ]
@@ -116,6 +117,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     """
     def band_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             ids = batch.column(id_col).to_numpy()
             sig = np.asarray(batch.column("sig").to_pylist(),
                              dtype=np.int64).view(np.uint64)
@@ -205,7 +208,7 @@ def simhash(df: DataFrame, text_col: str = "text",
             ids = batch.column(id_col)
             out = np.zeros(batch.num_rows, dtype=np.uint64)
             for i, t in enumerate(batch.column(text_col).to_pylist()):
-                words = [w for w in t.split(" ") if w]
+                words = [w for w in t.split(" ") if w] if t else []
                 if not words:
                     continue
                 uniq, cnt = np.unique(words, return_counts=True)

@@ -243,3 +243,47 @@ def test_grouped_build_extreme_skew(spark):
              df.select("source", F.explode("tokens").alias("t"))
                .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
     assert got == exact
+
+
+def test_membership_null_probe_keeps_precision(spark):
+    """Review regression: one NULL in a probe column used to widen the
+    whole pandas batch to float64, rounding |id| > 2^53 and producing
+    mass false negatives. Null-safe probing must keep int64 precision
+    and return NULL for the null row."""
+    import pyspark.sql.functions as F
+
+    ids = spark.range(1000).select(F.xxhash64("id").alias("t"))
+    res = build(ids, (SketchSpec("quotient", "t"),))
+    state = res.sketches["quotient:t"].to_bytes()
+    probes = ids.union(spark.sql("SELECT CAST(NULL AS BIGINT) AS t"))
+    rows = with_membership(probes, "t", state).collect()
+    non_null = [r for r in rows if r["t"] is not None]
+    assert len(non_null) == 1000
+    assert all(r["is_member"] for r in non_null), "false negatives from NULL widening"
+    null_rows = [r for r in rows if r["t"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["is_member"] is None
+
+
+def test_resume_ignores_interrupted_tmp_file(spark, tmp_path):
+    """Review regression: a crash between tmp write and rename used to
+    leave a visible *.tmp parquet that resume double-counted."""
+    import os
+
+    from qsketch.spark.io import generate_tokenized
+
+    df = generate_tokenized(spark, 200, seed=13, num_partitions=2)
+    specs = (SketchSpec("cms", "tokens"),)
+    ck = str(tmp_path / "ck")
+    r1 = build(df, specs, ckpt_dir=ck, run_id="r")
+    # simulate a killed task's leftover: copy a committed state to a
+    # hidden tmp name (what _commit_state now uses)
+    d = os.path.join(ck, "r")
+    src = sorted(f for f in os.listdir(d) if f.startswith("state-"))[0]
+    with open(os.path.join(d, src), "rb") as fh:
+        blob = fh.read()
+    with open(os.path.join(d, ".tmp-deadbeef"), "wb") as fh:
+        fh.write(blob)
+    r2 = build(df, specs, ckpt_dir=ck, run_id="r")
+    assert (r1.sketches["cms:tokens"].total
+            == r2.sketches["cms:tokens"].total), "stale tmp double-counted"
+    assert r1.sketches["cms:tokens"].to_bytes() == r2.sketches["cms:tokens"].to_bytes()

@@ -78,3 +78,20 @@ def test_reference_default_logsize22(spark):
     assert not qf.contains(np.arange(5_000_000, 5_010_000)).any()
     rt = QuotientFilter.from_bytes(qf.to_bytes())
     assert rt.contains(np.arange(0, 2_000_000, 997)).all()
+
+
+def test_sql_fingerprint_strings(spark):
+    """Review regression: string columns used to crash; the reference
+    hashes UTF-8 key bytes (server.go:100)."""
+    from qsketch.hash import fnv1a64_bytes
+
+    register_fingerprint(spark, "fnv64s")
+    rows = spark.sql(
+        "SELECT t, fnv64s(t) AS fp FROM VALUES ('a'), ('foobar'), (NULL) AS v(t)"
+    ).collect()
+    got = {r["t"]: r["fp"] for r in rows}
+    import numpy as np
+    for w in ("a", "foobar"):
+        expect = int(np.int64(np.uint64(fnv1a64_bytes(w.encode()))))
+        assert got[w] == expect
+    assert got[None] is None

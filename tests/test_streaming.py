@@ -59,3 +59,30 @@ def test_stream_replay_idempotent(spark, tmp_path):
     assert store.last_epoch() == 0
     after = {k: s.to_bytes() for k, s in store.load().items()}
     assert before == after
+
+
+def test_state_store_crash_between_blobs_and_pointer(spark, tmp_path):
+    """Review regression: blobs written before the epoch marker meant a
+    crash in between double-applied the replayed batch. With epoch-dir +
+    CURRENT pointer commits, a partial epoch-1 write is invisible."""
+    import os
+
+    from qsketch.spark.agg import SketchSpec, build
+    from qsketch.spark.io import generate_tokenized
+    from qsketch.spark.streaming import SketchStateStore
+
+    store = SketchStateStore(str(tmp_path / "st"))
+    df = generate_tokenized(spark, 100, seed=8, num_partitions=2)
+    res = build(df, (SketchSpec("cms", "tokens"),))
+    store.commit(res.sketches, epoch=0)
+    total0 = store.load()["cms:tokens"].total
+
+    # simulate: epoch-1 blobs fully written, crash BEFORE pointer update
+    d = os.path.join(str(tmp_path / "st"), "epoch-000000000001")
+    os.makedirs(d)
+    doubled = res.sketches["cms:tokens"].merge(res.sketches["cms:tokens"])
+    with open(os.path.join(d, "cms__tokens.bin"), "wb") as fh:
+        fh.write(doubled.to_bytes())
+
+    assert store.last_epoch() == 0          # pointer never moved
+    assert store.load()["cms:tokens"].total == total0  # partial write invisible
