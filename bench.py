@@ -92,8 +92,10 @@ def main() -> None:
         spark.read.parquet(CACHE), DEFAULT_SPECS))
     queries["build_all_sketches_rowpath"] = t_row
 
-    t_grouped, _ = _timed(lambda: build_grouped(
-        spark.read.parquet(CACHE),
+    from qsketch.spark.agg import build_grouped_files
+
+    t_grouped, _ = _timed(lambda: build_grouped_files(
+        spark, CACHE,
         (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens")),
         "source").collect())
     queries["grouped_build_by_source"] = t_grouped

@@ -470,6 +470,51 @@ def build(df: DataFrame, specs=DEFAULT_SPECS, fanin: int = 16,
     )
 
 
+class _GroupedAcc:
+    """Per-(partition, group) accumulation shared by both scan variants."""
+
+    def __init__(self, specs: tuple[SketchSpec, ...], group_col: str):
+        self.specs = specs
+        self.group_col = group_col
+        self.accs: dict[str, _PartitionAcc] = {}
+
+    def consume(self, batch: pa.RecordBatch) -> None:
+        groups = batch.column(self.group_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(groups, kind="stable")
+        uniq, starts = np.unique(groups[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        tb = pa.Table.from_batches([batch])
+        for gi, g in enumerate(uniq):
+            rows = order[bounds[gi]:bounds[gi + 1]]
+            sub = tb.take(pa.array(rows)).combine_chunks().to_batches()[0]
+            key = str(g)
+            if key not in self.accs:
+                self.accs[key] = _PartitionAcc(self.specs)
+            self.accs[key].consume(sub)
+
+    def to_record_batch(self, pid: int) -> pa.RecordBatch | None:
+        if not self.accs:
+            return None
+        names, pids, kinds, blobs, nr, nt, ms = [], [], [], [], [], [], []
+        for g, pacc in self.accs.items():
+            build_ms = (time.perf_counter() - pacc.t0) * 1000.0
+            for a in pacc.accs:
+                names.append(g)
+                pids.append(pid)
+                kinds.append(a.spec.name)
+                blobs.append(a.finish())
+                nr.append(pacc.n_rows)
+                nt.append(pacc.n_tokens)
+                ms.append(build_ms)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(names), pa.array(pids, type=pa.int32()), pa.array(kinds),
+             pa.array(blobs, type=pa.binary()), pa.array(nr, type=pa.int64()),
+             pa.array(nt, type=pa.int64()), pa.array(ms, type=pa.float64())],
+            names=["group", "partition_id", "kind", "state",
+                   "n_rows", "n_tokens", "build_ms"],
+        )
+
+
 def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
                   fanin: int = 16) -> DataFrame:
     """Sketch per group with map-side combine: partials per (partition,
@@ -484,56 +529,52 @@ def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        inputs = sorted({s.input for s in specs})
-        hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
-        accs: dict[str, list[_Acc]] = {}
-        meta: dict[str, list[int]] = {}
+        gacc = _GroupedAcc(specs, group_col)
         for batch in batches:
-            groups = batch.column(group_col).to_numpy(zero_copy_only=False)
-            order = np.argsort(groups, kind="stable")
-            uniq, starts = np.unique(groups[order], return_index=True)
-            bounds = np.append(starts, len(order))
-            tb = pa.Table.from_batches([batch])
-            for gi, g in enumerate(uniq):
-                rows = order[bounds[gi]:bounds[gi + 1]]
-                sub = tb.take(pa.array(rows)).combine_chunks().to_batches()[0]
-                if g not in accs:
-                    accs[g] = [_Acc(s) for s in specs]
-                    meta[g] = [0, 0]
-                vals = {name: _flatten_column(sub, name) for name in inputs}
-                dedup = {name: _dedup(vals[name]) for name in hash_inputs}
-                hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
-                meta[g][0] += sub.num_rows
-                if "tokens" in vals:
-                    meta[g][1] += len(vals["tokens"])
-                for acc in accs[g]:
-                    name = acc.spec.input
-                    acc.add(vals[name], hashes.get(name),
-                            dedup[name][1] if name in dedup else None)
-        names, pids, kinds, blobs, nr, nt, ms = [], [], [], [], [], [], []
-        for g, alist in accs.items():
-            for a in alist:
-                names.append(g)
-                pids.append(pid)
-                kinds.append(a.spec.name)
-                blobs.append(a.finish())
-                nr.append(meta[g][0])
-                nt.append(meta[g][1])
-                ms.append(0.0)
-        if not names:
-            return
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([str(x) for x in names]), pa.array(pids, type=pa.int32()),
-             pa.array(kinds),
-             pa.array(blobs, type=pa.binary()), pa.array(nr, type=pa.int64()),
-             pa.array(nt, type=pa.int64()), pa.array(ms, type=pa.float64())],
-            names=["group", "partition_id", "kind", "state",
-                   "n_rows", "n_tokens", "build_ms"],
-        )
+            gacc.consume(batch)
+        out = gacc.to_record_batch(pid)
+        if out is not None:
+            yield out
 
     partials = proj.mapInArrow(fn, GROUP_STATE_SCHEMA)
     return tree_merge(partials, proj.rdd.getNumPartitions(), fanin,
                       key_cols=("group", "kind"))
+
+
+def build_grouped_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
+                        group_col: str = "source", fanin: int = 16) -> DataFrame:
+    """File-direct grouped build: same map-side combine, parquet read
+
+    inside the workers (no JVM row->Arrow conversion — see
+    build_partials_files)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    specs = tuple(specs)
+    cols = sorted({s.input for s in specs} | {group_col})
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pqr
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        gacc = _GroupedAcc(specs, group_col)
+        for pathbatch in batches:
+            for f in pathbatch.column("path").to_pylist():
+                pf = pqr.ParquetFile(f)
+                for batch in pf.iter_batches(batch_size=65536, columns=cols):
+                    gacc.consume(batch)
+        out = gacc.to_record_batch(pid)
+        if out is not None:
+            yield out
+
+    paths_df = spark.sparkContext.parallelize(
+        [(f,) for f in files], len(files)).toDF(["path"])
+    partials = paths_df.mapInArrow(fn, GROUP_STATE_SCHEMA)
+    return tree_merge(partials, len(files), fanin, key_cols=("group", "kind"))
 
 
 # ---------------- probe side ----------------------------------------------

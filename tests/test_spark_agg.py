@@ -287,3 +287,18 @@ def test_resume_ignores_interrupted_tmp_file(spark, tmp_path):
     assert (r1.sketches["cms:tokens"].total
             == r2.sketches["cms:tokens"].total), "stale tmp double-counted"
     assert r1.sketches["cms:tokens"].to_bytes() == r2.sketches["cms:tokens"].to_bytes()
+
+
+def test_grouped_files_matches_grouped(spark, tiny_df, tmp_path):
+    """File-direct grouped build produces the same per-group states as
+    the DataFrame-scan grouped build (canonical kinds byte-identical)."""
+    from qsketch.spark.agg import build_grouped_files
+
+    p = str(tmp_path / "gf")
+    tiny_df.write.parquet(p)
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"))
+    a = {(r["group"], r["kind"]): r["state"] for r in
+         build_grouped(spark.read.parquet(p), specs, "source").collect()}
+    b = {(r["group"], r["kind"]): r["state"] for r in
+         build_grouped_files(spark, p, specs, "source").collect()}
+    assert a == b
