@@ -71,7 +71,8 @@ def main() -> None:
     # ---- main session at 4N = 8 (this VM's measured per-box sweet spot;
     # the 32-way run below shows the host's oversubscription ceiling)
     spark = make_session(8)
-    from qsketch.spark.agg import DEFAULT_SPECS, SketchSpec, build, build_files, build_grouped
+    from qsketch.spark.agg import (DEFAULT_SPECS, SketchSpec, build,
+                                   build_files, build_grouped_files)
     from qsketch.spark.io import generate_tokenized, write_tokenized
 
     if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
@@ -91,8 +92,6 @@ def main() -> None:
     t_row, _ = _timed(lambda: build(
         spark.read.parquet(CACHE), DEFAULT_SPECS))
     queries["build_all_sketches_rowpath"] = t_row
-
-    from qsketch.spark.agg import build_grouped_files
 
     t_grouped, _ = _timed(lambda: build_grouped_files(
         spark, CACHE,

@@ -46,7 +46,13 @@ def main(argv=None) -> int:
     ap.add_argument("--fanin", type=int, default=16)
     args = ap.parse_args(argv)
     if args.ckpt and not args.run_id:
-        args.run_id = "default"
+        # deterministic identity of THIS job config, so a different
+        # input/sketch set can never resume the wrong states
+        import hashlib
+
+        sig = "|".join([args.input, args.group_by or ""]
+                       + sorted(args.sketches))
+        args.run_id = "auto-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
 
     from pyspark.sql import SparkSession
 

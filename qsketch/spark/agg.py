@@ -291,7 +291,9 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     cols = sorted({s.input for s in specs})
     proj = df.select(*cols)
     if ckpt_dir is not None and run_id is None:
-        run_id = "default"
+        # a shared implicit id would silently resume a DIFFERENT build's
+        # states from the same dir — demand an explicit identity
+        raise ValueError("ckpt_dir requires an explicit run_id")
     fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
     partials = proj.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
@@ -328,7 +330,7 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
     specs = tuple(specs)
     cols = sorted({s.input for s in specs})
     if ckpt_dir is not None and run_id is None:
-        run_id = "default"
+        raise ValueError("ckpt_dir requires an explicit run_id")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pqr
@@ -477,6 +479,7 @@ class _GroupedAcc:
         self.specs = specs
         self.group_col = group_col
         self.accs: dict[str, _PartitionAcc] = {}
+        self.ms: dict[str, float] = {}
 
     def consume(self, batch: pa.RecordBatch) -> None:
         groups = batch.column(self.group_col).to_numpy(zero_copy_only=False)
@@ -490,14 +493,17 @@ class _GroupedAcc:
             key = str(g)
             if key not in self.accs:
                 self.accs[key] = _PartitionAcc(self.specs)
+                self.ms[key] = 0.0
+            t0 = time.perf_counter()
             self.accs[key].consume(sub)
+            self.ms[key] += (time.perf_counter() - t0) * 1000.0
 
     def to_record_batch(self, pid: int) -> pa.RecordBatch | None:
         if not self.accs:
             return None
         names, pids, kinds, blobs, nr, nt, ms = [], [], [], [], [], [], []
         for g, pacc in self.accs.items():
-            build_ms = (time.perf_counter() - pacc.t0) * 1000.0
+            build_ms = self.ms[g]  # per-group consume time, non-overlapping
             for a in pacc.accs:
                 names.append(g)
                 pids.append(pid)
@@ -604,6 +610,12 @@ def _null_safe_probe(df: DataFrame, values_col: str, udf_fn, out_col: str,
     mass false negatives.  Coalescing to a sentinel keeps the Arrow
     column non-nullable (pandas stays int64); null inputs then yield
     NULL output (SQL semantics)."""
+    dtype = df.schema[values_col].dataType.simpleString()
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"probe column '{values_col}' has type {dtype}; sketches are "
+            "built over integer fingerprints — map strings to ids first "
+            "(e.g. queries.token_ids / F.xxhash64)")
     guarded = F.coalesce(F.col(values_col).cast("long"),
                          F.lit(_NULL_SENTINEL))
     return df.withColumn(

@@ -116,11 +116,22 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,
     from ..hash import splitmix64
 
     total = corpus.count()
+    if total == 0:
+        raise ValueError("empty corpus: cannot train IVF centroids")
     frac_mod = max(1, total // sample)
+    # ORDER BY a content hash makes the limit deterministic regardless of
+    # partition layout or scan order (a bare limit() is plan-dependent)
     samp = (corpus.select(id_col, vec_col)
             .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(sample).collect())
+    if not samp:
+        samp = (corpus.select(id_col, vec_col)
+                .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                .limit(sample).collect())
     x = np.asarray([r[vec_col] for r in samp], dtype=np.float64)
+    if x.ndim != 2 or x.size == 0:
+        raise ValueError("empty/degenerate IVF training sample")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n_cells = min(n_cells, len(x))
     idx = (splitmix64(np.arange(n_cells, dtype=np.uint64) + np.uint64(seed))

@@ -68,6 +68,21 @@ def register_fingerprint(spark: SparkSession, name: str = "fnv1a64") -> None:
                 out[mask.to_numpy()] = fnv1a64_str_array(
                     [x for x in arr[mask.to_numpy()]])
             return pd.Series(out.view(np.int64)).where(mask, other=pd.NA)
+        if arr.dtype.kind == "f":
+            # a nullable int column widened to float64: recover exactly
+            # when values are within float64's integer-exact range,
+            # otherwise fail loudly rather than hash rounded ids
+            mask = pd.notna(s)
+            vals = arr[mask.to_numpy()]
+            if np.any(np.abs(vals) > 2.0**53):
+                raise TypeError(
+                    "fnv1a64: nullable column widened to float64 with "
+                    "|values| > 2^53 — precision lost; coalesce NULLs "
+                    "JVM-side (e.g. coalesce(col, 0)) before hashing")
+            out = np.zeros(len(s), dtype=np.uint64)
+            if mask.any():
+                out[mask.to_numpy()] = fnv1a64(vals.astype(np.int64))
+            return pd.Series(out.view(np.int64)).where(mask, other=pd.NA)
         return pd.Series(fnv1a64(arr).view("int64"))
 
     spark.udf.register(name, fn)

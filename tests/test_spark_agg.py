@@ -302,3 +302,18 @@ def test_grouped_files_matches_grouped(spark, tiny_df, tmp_path):
     b = {(r["group"], r["kind"]): r["state"] for r in
          build_grouped_files(spark, p, specs, "source").collect()}
     assert a == b
+
+
+def test_probe_rejects_non_integer_columns(spark, tiny_df):
+    """Review regression: casting strings to long used to produce silent
+    100% false negatives; now the type is rejected up front."""
+    res = build(tiny_df, (SketchSpec("quotient", "tokens"),))
+    with pytest.raises(TypeError, match="integer fingerprints"):
+        with_membership(tiny_df, "doc_id",  # string column
+                        res.sketches["quotient:tokens"].to_bytes())
+
+
+def test_ckpt_requires_run_id(tiny_df, tmp_path):
+    with pytest.raises(ValueError, match="run_id"):
+        build(tiny_df, (SketchSpec("hll", "tokens"),),
+              ckpt_dir=str(tmp_path / "c"))

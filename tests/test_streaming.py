@@ -86,3 +86,51 @@ def test_state_store_crash_between_blobs_and_pointer(spark, tmp_path):
 
     assert store.last_epoch() == 0          # pointer never moved
     assert store.load()["cms:tokens"].total == total0  # partial write invisible
+
+
+def test_windowed_token_rate(spark, tmp_path):
+    """Watermarked event-time window aggregate over a token stream."""
+    import datetime as dt
+
+    from qsketch.spark.streaming import windowed_token_rate
+
+    rows = [(dt.datetime(2026, 1, 1, 0, 0, 10), 100),
+            (dt.datetime(2026, 1, 1, 0, 0, 50), 50),
+            (dt.datetime(2026, 1, 1, 0, 1, 10), 30)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, n_tok int").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, n_tok int").parquet(src)
+    agg = windowed_token_rate(stream, window="1 minute", watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("tokrate")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {r["win"]["start"].minute: (r["tokens"], r["docs"])
+               for r in spark.sql("SELECT * FROM tokrate").collect()}
+    finally:
+        q.stop()
+    assert got == {0: (150, 2), 1: (30, 1)}
+
+
+def test_state_store_migrates_legacy_flat_layout(spark, tmp_path):
+    """A store written by the pre-epoch-dir format must be read, not
+    silently treated as empty."""
+    import json
+    import os
+
+    from qsketch.spark.agg import SketchSpec, build
+    from qsketch.spark.io import generate_tokenized
+    from qsketch.spark.streaming import SketchStateStore
+
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    df = generate_tokenized(spark, 100, seed=8, num_partitions=2)
+    res = build(df, (SketchSpec("cms", "tokens"),))
+    with open(os.path.join(d, "cms__tokens.bin"), "wb") as fh:
+        fh.write(res.sketches["cms:tokens"].to_bytes())
+    with open(os.path.join(d, "_epoch.json"), "w") as fh:
+        json.dump({"epoch": 5}, fh)
+
+    store = SketchStateStore(d)
+    assert store.last_epoch() == 5
+    assert store.load()["cms:tokens"].total == res.sketches["cms:tokens"].total
