@@ -23,6 +23,27 @@ from pyspark.sql.functions import pandas_udf
 from .agg import _cached_sketch
 
 
+def _int_probe_values(s: pd.Series):
+    """(int64 values for non-null rows, notna mask) — recovers a
+    nullable long column that pandas widened to float64 when exact
+    (|x| <= 2^53), fails loudly otherwise."""
+    import numpy as np
+
+    arr = s.to_numpy()
+    mask = pd.notna(s).to_numpy()
+    if arr.dtype.kind == "f":
+        vals = arr[mask]
+        if np.any(np.abs(vals) > 2.0**53):
+            raise TypeError(
+                "nullable column widened to float64 with |values| > 2^53 "
+                "— precision lost; coalesce NULLs JVM-side before probing")
+        return vals.astype(np.int64), mask
+    if arr.dtype == object:
+        raise TypeError("sketch probes take integer ids; map strings "
+                        "JVM-side (xxhash64) first")
+    return arr[mask], mask
+
+
 def register_membership(spark: SparkSession, name: str,
                         sketch_bytes: bytes) -> None:
     bc = spark.sparkContext.broadcast(sketch_bytes)
@@ -30,8 +51,14 @@ def register_membership(spark: SparkSession, name: str,
 
     @pandas_udf("boolean")
     def fn(s: pd.Series) -> pd.Series:
+        import numpy as np
+
         sk = _cached_sketch(token, bc.value)
-        return pd.Series(sk.contains(s.to_numpy()))
+        vals, mask = _int_probe_values(s)
+        out = np.zeros(len(s), dtype=bool)
+        if mask.any():
+            out[mask] = sk.contains(vals)
+        return pd.Series(out).where(pd.Series(mask), other=pd.NA)
 
     spark.udf.register(name, fn)
 
@@ -43,8 +70,14 @@ def register_frequency(spark: SparkSession, name: str,
 
     @pandas_udf("long")
     def fn(s: pd.Series) -> pd.Series:
+        import numpy as np
+
         sk = _cached_sketch(token, bc.value)
-        return pd.Series(sk.estimate(s.to_numpy()))
+        vals, mask = _int_probe_values(s)
+        out = np.zeros(len(s), dtype=np.int64)
+        if mask.any():
+            out[mask] = sk.estimate(vals)
+        return pd.Series(out).where(pd.Series(mask), other=pd.NA)
 
     spark.udf.register(name, fn)
 

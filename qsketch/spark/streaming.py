@@ -157,3 +157,63 @@ def windowed_token_rate(stream_df: DataFrame, ts_col: str = "ts",
             .groupBy(F.window(F.col(ts_col), window).alias("win"))
             .agg(F.sum(n_tok_col).alias("tokens"),
                  F.count("*").alias("docs")))
+
+
+def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
+                          tokens_col: str = "tokens",
+                          ttl_ms: int = 1_800_000, hll_p: int = 14):
+    """Expiring keys — the reference's advertised-but-unimplemented
+    feature (/root/reference/README.md:11) — as a CUSTOM STATEFUL
+    STREAMING OPERATOR: per-key rolling distinct-token sketches held in
+    Spark state, expired after ``ttl_ms`` of inactivity via
+    applyInPandasWithState (processing-time timeout).
+
+    Emits one row per (key, micro-batch): the current cardinality
+    estimate, docs seen this batch, and whether the key's state just
+    expired.  State is the serialized HLL blob — mergeable, bounded
+    (2^p bytes), and partition-safe.
+
+    NOTE: once a processing-time timeout is registered the engine always
+    has pending state-cleanup work, so ``processAllAvailable()`` on the
+    query never returns — poll ``lastProgress``/the sink instead.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..hash import fnv1a64
+    from ..hll import HyperLogLog
+
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            state.remove()  # expiring keys: idle state is dropped
+            yield pd.DataFrame({"key": [k], "est_distinct": [0.0],
+                                "batch_docs": [0], "expired": [True]})
+            return
+        if state.exists:
+            (blob,) = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
+        else:
+            hll = HyperLogLog(hll_p)
+        n_docs = 0
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            if len(pdf):
+                flat = np.concatenate([np.asarray(t, dtype=np.int64)
+                                       for t in pdf[tokens_col]])
+                if flat.size:
+                    hll.update(fnv1a64(flat), pre_hashed=True)
+        state.update((hll.to_bytes(),))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"key": [k], "est_distinct": [hll.estimate()],
+                            "batch_docs": [n_docs], "expired": [False]})
+
+    return (stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, est_distinct double, "
+                         "batch_docs long, expired boolean",
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

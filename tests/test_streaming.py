@@ -134,3 +134,64 @@ def test_state_store_migrates_legacy_flat_layout(spark, tmp_path):
     store = SketchStateStore(d)
     assert store.last_epoch() == 5
     assert store.load()["cms:tokens"].total == res.sketches["cms:tokens"].total
+
+
+def test_rolling_sketch_by_key_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-source
+    rolling HLL state persists across micro-batches."""
+    from qsketch.spark.agg import SketchSpec, build_grouped
+    from qsketch.spark.io import generate_tokenized
+    from qsketch.spark.streaming import rolling_sketch_by_key
+
+    src = str(tmp_path / "roll")
+    import os
+    os.makedirs(src)
+    full = generate_tokenized(spark, 400, seed=23, num_partitions=2)
+    full.cache().count()
+    a, b = full.randomSplit([1.0, 1.0], seed=3)
+    a.write.parquet(f"{src}/c0")
+
+    stream = spark.readStream.schema(full.schema).parquet(f"{src}/c*")
+    out = rolling_sketch_by_key(stream, "source", ttl_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("roll")
+         .outputMode("update").option("checkpointLocation",
+                                      str(tmp_path / "ck")).start())
+
+    def wait_rows(min_rows, deadline=120):
+        # NOTE: processAllAvailable() never returns once a
+        # processing-time timeout is registered (the engine always has
+        # state-cleanup work pending), so poll the sink instead
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            n = spark.sql("SELECT COUNT(*) FROM roll").first()[0]
+            if n >= min_rows:
+                return
+            time.sleep(2)
+        raise AssertionError(f"sink never reached {min_rows} rows")
+
+    try:
+        n_sources = full.select("source").distinct().count()
+        wait_rows(n_sources)
+        first_wave = spark.sql("SELECT COUNT(*) FROM roll").first()[0]
+        b.write.parquet(f"{src}/c1")
+        wait_rows(first_wave + n_sources)
+        rows = spark.sql("SELECT * FROM roll").collect()
+    finally:
+        q.stop()
+
+    # last emission per key must estimate the distinct tokens over BOTH
+    # chunks (state carried across micro-batches), within HLL error
+    import pyspark.sql.functions as F
+
+    exact = {r["source"]: r["d"] for r in
+             full.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    latest = {}
+    for r in rows:  # memory sink appends per batch; later rows win
+        latest[r["key"]] = r["est_distinct"]
+    assert set(latest) == set(exact)
+    for k, est in latest.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.1, (k, est, exact[k])
+    assert not any(r["expired"] for r in rows)
