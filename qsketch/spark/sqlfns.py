@@ -30,6 +30,8 @@ def _int_probe_values(s: pd.Series):
     import numpy as np
 
     arr = s.to_numpy()
+    if arr.dtype.kind in "iu":  # non-null integer column: zero-copy path
+        return arr, None
     mask = pd.notna(s).to_numpy()
     if arr.dtype.kind == "f":
         vals = arr[mask]
@@ -37,11 +39,12 @@ def _int_probe_values(s: pd.Series):
             raise TypeError(
                 "nullable column widened to float64 with |values| > 2^53 "
                 "— precision lost; coalesce NULLs JVM-side before probing")
+        if np.any(vals != np.floor(vals)):
+            raise TypeError("sketch probes take integer ids, got "
+                            "fractional doubles")
         return vals.astype(np.int64), mask
-    if arr.dtype == object:
-        raise TypeError("sketch probes take integer ids; map strings "
-                        "JVM-side (xxhash64) first")
-    return arr[mask], mask
+    raise TypeError("sketch probes take integer ids; map strings "
+                    "JVM-side (xxhash64) first")
 
 
 def register_membership(spark: SparkSession, name: str,
@@ -55,10 +58,12 @@ def register_membership(spark: SparkSession, name: str,
 
         sk = _cached_sketch(token, bc.value)
         vals, mask = _int_probe_values(s)
-        out = np.zeros(len(s), dtype=bool)
+        if mask is None:
+            return pd.Series(sk.contains(vals))
+        out = pd.array([None] * len(s), dtype="boolean")
         if mask.any():
             out[mask] = sk.contains(vals)
-        return pd.Series(out).where(pd.Series(mask), other=pd.NA)
+        return pd.Series(out)
 
     spark.udf.register(name, fn)
 
@@ -74,10 +79,14 @@ def register_frequency(spark: SparkSession, name: str,
 
         sk = _cached_sketch(token, bc.value)
         vals, mask = _int_probe_values(s)
-        out = np.zeros(len(s), dtype=np.int64)
+        if mask is None:
+            return pd.Series(sk.estimate(vals))
+        # nullable Int64 avoids the float64 round-trip .where() would
+        # introduce (int64 -> NaN upcast rounds estimates > 2^53)
+        out = pd.array([None] * len(s), dtype="Int64")
         if mask.any():
             out[mask] = sk.estimate(vals)
-        return pd.Series(out).where(pd.Series(mask), other=pd.NA)
+        return pd.Series(out)
 
     spark.udf.register(name, fn)
 

@@ -179,11 +179,12 @@ def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..hash import fnv1a64
     from ..hll import HyperLogLog
 
     import numpy as np
     import pandas as pd
+
+    key_type = stream_df.schema[key_col].dataType.simpleString()
 
     def update(key, pdfs, state: GroupState):
         k = key[0]
@@ -200,11 +201,10 @@ def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
         n_docs = 0
         for pdf in pdfs:
             n_docs += len(pdf)
-            if len(pdf):
-                flat = np.concatenate([np.asarray(t, dtype=np.int64)
-                                       for t in pdf[tokens_col]])
-                if flat.size:
-                    hll.update(fnv1a64(flat), pre_hashed=True)
+            arrays = [np.asarray(t, dtype=np.int64)
+                      for t in pdf[tokens_col] if t is not None and len(t)]
+            if arrays:
+                hll.update(np.concatenate(arrays))
         state.update((hll.to_bytes(),))
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"key": [k], "est_distinct": [hll.estimate()],
@@ -212,8 +212,8 @@ def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
 
     return (stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="key string, est_distinct double, "
-                         "batch_docs long, expired boolean",
+        outputStructType=(f"key {key_type}, est_distinct double, "
+                          "batch_docs long, expired boolean"),
         stateStructType="state binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

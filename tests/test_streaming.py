@@ -149,6 +149,11 @@ def test_rolling_sketch_by_key_stateful(spark, tmp_path):
     full = generate_tokenized(spark, 400, seed=23, num_partitions=2)
     full.cache().count()
     a, b = full.randomSplit([1.0, 1.0], seed=3)
+    # single file per chunk => exactly one micro-batch per wave (the
+    # file source could otherwise split a chunk across batches and the
+    # row-count wait below would fire early)
+    a = a.coalesce(1)
+    b = b.coalesce(1)
     a.write.parquet(f"{src}/c0")
 
     stream = spark.readStream.schema(full.schema).parquet(f"{src}/c*")
@@ -188,10 +193,47 @@ def test_rolling_sketch_by_key_stateful(spark, tmp_path):
     exact = {r["source"]: r["d"] for r in
              full.select("source", F.explode("tokens").alias("t"))
              .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    # HLL estimates grow monotonically as state accumulates, so the max
+    # per key is the final (both-waves) estimate — robust to sink row
+    # order, which the memory sink does not guarantee
     latest = {}
-    for r in rows:  # memory sink appends per batch; later rows win
-        latest[r["key"]] = r["est_distinct"]
+    for r in rows:
+        latest[r["key"]] = max(latest.get(r["key"], 0.0), r["est_distinct"])
     assert set(latest) == set(exact)
     for k, est in latest.items():
         assert abs(est - exact[k]) / exact[k] <= 0.1, (k, est, exact[k])
     assert not any(r["expired"] for r in rows)
+
+
+def test_rolling_sketch_ttl_expiry(spark, tmp_path):
+    """The headline 'expiring keys' path: idle state must time out,
+    emit expired rows, and be removed."""
+    import os
+    import time
+
+    from qsketch.spark.io import generate_tokenized
+    from qsketch.spark.streaming import rolling_sketch_by_key
+
+    src = str(tmp_path / "exp")
+    os.makedirs(src)
+    full = generate_tokenized(spark, 100, seed=31, num_partitions=1)
+    full.coalesce(1).write.parquet(f"{src}/c0")
+    stream = spark.readStream.schema(full.schema).parquet(f"{src}/c*")
+    out = rolling_sketch_by_key(stream, "source", ttl_ms=4000)
+    q = (out.writeStream.format("memory").queryName("rollexp")
+         .outputMode("update").option("checkpointLocation",
+                                      str(tmp_path / "ck")).start())
+    try:
+        deadline = time.time() + 120
+        expired = set()
+        live = set()
+        while time.time() < deadline:
+            for r in spark.sql("SELECT * FROM rollexp").collect():
+                (expired if r["expired"] else live).add(r["key"])
+            if expired >= live and live:
+                break
+            time.sleep(3)
+    finally:
+        q.stop()
+    assert live, "no live emissions seen"
+    assert expired >= live, f"keys never expired: {live - expired}"
