@@ -147,21 +147,18 @@ def q_bloom_membership(spark, sf_dir):
 def q_qf_cardinality_by_source(spark, sf_dir):
     """Per-group distinct count via grouped QF build (map-side combine,
 
-    no data shuffle) — exact at full remainder width."""
+    no data shuffle) — exact at full remainder width.  State decode runs
+    distributed (grouped_cardinality), no collect in the query body."""
+    from qsketch.spark.queries import grouped_cardinality
+
     d = _docs(spark, sf_dir)
     toks = (d.select("source", F.explode(F.split("text", " ")).alias("token"))
              .where(F.col("token") != ""))
     toks = token_ids(toks).select("source", "token_id")
     merged = build_grouped(toks, (SketchSpec("quotient", "token_id"),), "source")
-    import pandas as pd
-    from qsketch import base as qbase
-
-    rows = [{"source": r["group"],
-             "n_distinct_tokens": int(qbase.from_bytes(r["state"]).cardinality())}
-            for r in merged.collect()]
-    return spark.createDataFrame(
-        pd.DataFrame(rows).sort_values("source").reset_index(drop=True),
-        "source string, n_distinct_tokens long")
+    return (grouped_cardinality(merged, "group", "n_distinct_tokens")
+            .withColumnRenamed("group", "source")
+            .orderBy("source"))
 
 
 def q_events_distinct_users_exact(spark, sf_dir):
@@ -430,8 +427,13 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe"
             "   FROM embeddings WHERE vec_id < 5),"
+            # cast both sides to DOUBLE[]: the parquet column is FLOAT[]
+            # and DuckDB's list_cosine_similarity would compute in
+            # float32, flipping round(c, 6) on boundary values vs
+            # Spark's float64 arithmetic
             " scored AS (SELECT q.query_id, e.vec_id,"
-            "   list_cosine_similarity(e.embedding, q.qe) AS c"
+            "   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            "                          CAST(q.qe AS DOUBLE[])) AS c"
             "   FROM embeddings e, q),"
             " r AS (SELECT query_id, vec_id, c, row_number() OVER"
             "   (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank"

@@ -69,8 +69,14 @@ class BloomFilter:
         return bits.all(axis=0)
 
     def fpr_estimate(self) -> float:
-        """(fill ratio)^k — the realized false-positive probability."""
-        fill = np.unpackbits(self.words.view(np.uint8)).mean()
+        """(fill ratio)^k — the realized false-positive probability.
+
+        Fill counts only the first m_bits: the words array is padded to
+        a multiple of 64, and counting the always-zero padding bits
+        would underestimate the fill ratio whenever m_bits % 64 != 0."""
+        bits = np.unpackbits(self.words.view(np.uint8), bitorder="little",
+                             count=self.m_bits)
+        fill = bits.mean() if self.m_bits else 0.0
         return float(fill**self.k)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":

@@ -46,12 +46,20 @@ def main(argv=None) -> int:
     ap.add_argument("--fanin", type=int, default=16)
     args = ap.parse_args(argv)
     if args.ckpt and not args.run_id:
-        # deterministic identity of THIS job config, so a different
-        # input/sketch set can never resume the wrong states
+        # deterministic identity of THIS job config AND input content,
+        # so neither a different sketch set nor an in-place rewrite of
+        # the input files can silently resume stale partition states
+        import glob
         import hashlib
+        import os
 
-        sig = "|".join([args.input, args.group_by or ""]
-                       + sorted(args.sketches))
+        parts = [args.input, args.group_by or ""] + sorted(args.sketches)
+        if os.path.isdir(args.input):
+            for f in sorted(glob.glob(os.path.join(args.input, "*.parquet"))):
+                st = os.stat(f)
+                parts.append(
+                    f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        sig = "|".join(parts)
         args.run_id = "auto-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
 
     from pyspark.sql import SparkSession

@@ -228,7 +228,10 @@ class QuotientFilter:
                                      self.q_bits, self.r_bits)
         merged = np.union1d(self._keys, new_keys)
         if len(merged) > self._cap_keys:
-            if self.auto_resize and self.full_r:
+            # q_for clamps at 32: when already at the cap a regrow would
+            # be a no-op and the recursion would never terminate
+            if (self.auto_resize and self.full_r
+                    and self.q_for(len(merged), self.max_load) > self.q_bits):
                 self._regrow(len(merged))
                 return self.insert_hashes(hashes)
             raise QuotientFilterFullError("filter is full")
@@ -305,6 +308,9 @@ class QuotientFilter:
                 hashes = _hashes_from_keys(keys, q_bits, r_bits)
                 q_bits = self.q_for(len(keys), self.max_load)
                 r_bits = min(61, 64 - q_bits)
+                if len(keys) > int(self.max_load * (1 << q_bits)):
+                    # q_for clamped at 32 — no regrow can fit the union
+                    raise QuotientFilterFullError("filter is full")
                 keys = np.sort(_keys_from_hashes(hashes, q_bits, r_bits))
         else:
             if not (self.full_r and other.full_r):
@@ -317,6 +323,8 @@ class QuotientFilter:
             q_bits = max(self.q_bits, other.q_bits,
                          self.q_for(len(h), self.max_load))
             r_bits = min(61, 64 - q_bits)
+            if len(h) > int(self.max_load * (1 << q_bits)):
+                raise QuotientFilterFullError("filter is full")
             keys = np.sort(_keys_from_hashes(h, q_bits, r_bits))
         out = QuotientFilter(q_bits, r_bits, self.max_load,
                              self.auto_resize or other.auto_resize)

@@ -105,6 +105,25 @@ def quantiles(df: DataFrame, col: str, qs: list[float],
         pd.DataFrame({"q": qs, "value": np.asarray(vals, dtype=np.float64)}))
 
 
+def grouped_cardinality(merged_states: DataFrame, group_col: str = "group",
+                        out_col: str = "n_distinct") -> DataFrame:
+    """Decode merged grouped states -> (group, cardinality) WITHOUT a
+
+    driver collect: the decode runs as a vectorized probe over the
+    state rows (one row per group — already tiny — so this stays
+    distributed at millions of groups)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def card(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(base.from_bytes(b).cardinality()) for b in states],
+            dtype="int64")
+
+    return merged_states.select(F.col(group_col),
+                                card(F.col("state")).alias(out_col))
+
+
 def build_excluding(build_df: DataFrame, exclude_df: DataFrame,
                     build_col: str, exclude_col: str,
                     kind: str = "quotient", params: dict | None = None):

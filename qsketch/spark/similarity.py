@@ -29,6 +29,24 @@ def _norm_expr(col: str):
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def _batch_matrix(col: pa.Array, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a list<float> Arrow column: flatten + reshape
+
+    — one buffer copy for the whole batch, never a per-row Python list
+    materialization."""
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    if n == 0:
+        return flat.reshape(0, 0)
+    offs = np.asarray(col.offsets)
+    dims = np.diff(offs)
+    if not np.all(dims == dims[0]):
+        raise ValueError("ragged embedding column: rows differ in dim")
+    return flat.reshape(n, int(dims[0]))
+
+
 def _dot_expr(a: str, b: str):
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b),
@@ -47,18 +65,39 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql.window import Window
 
+    # norms are hoisted into per-side projections BELOW the join, so each
+    # is computed once per row, not once per (query, corpus-row) pair
     q = queries.select(F.col(query_id_col),
-                       F.col(vec_col).alias("__qvec"))
-    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+                       F.col(vec_col).alias("__qvec"),
+                       _norm_expr(vec_col).alias("__qnorm"))
+    c = corpus.select(id_col, vec_col, _norm_expr(vec_col).alias("__cnorm"))
+    joined = c.crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col, id_col,
         (_dot_expr(vec_col, "__qvec")
-         / (_norm_expr(vec_col) * _norm_expr("__qvec"))).alias("cosine"))
+         / (F.col("__cnorm") * F.col("__qnorm"))).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def _rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+            id_col: str, vec_col: str, query_id_col: str) -> DataFrame:
+    """Exact-cosine scoring of (query, candidate) pairs.  Norms are
+
+    computed in per-side projections below the joins — once per corpus
+    row / query row, not once per surviving pair."""
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"),
+                       _norm_expr(vec_col).alias("__qnorm"))
+    c = corpus.select(id_col, vec_col, _norm_expr(vec_col).alias("__cnorm"))
+    return (cand.join(c, id_col)
+                .join(F.broadcast(q), query_id_col)
+                .select(query_id_col, id_col,
+                        (_dot_expr(vec_col, "__qvec")
+                         / (F.col("__cnorm") * F.col("__qnorm")))
+                        .alias("cosine")))
 
 
 def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
@@ -85,8 +124,7 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
             if batch.num_rows == 0:
                 continue
             ids = batch.column(id_col)
-            vecs = np.asarray(batch.column(vec_col).to_pylist(),
-                              dtype=np.float64)
+            vecs = _batch_matrix(batch.column(vec_col))
             out_ids, out_tab, out_key = [], [], []
             for t, m in enumerate(mats):
                 signs = (vecs @ m.T) > 0
@@ -115,20 +153,15 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,
     iterations run driver-side on the small sample)."""
     from ..hash import splitmix64
 
-    total = corpus.count()
-    if total == 0:
-        raise ValueError("empty corpus: cannot train IVF centroids")
-    frac_mod = max(1, total // sample)
     # ORDER BY a content hash makes the limit deterministic regardless of
-    # partition layout or scan order (a bare limit() is plan-dependent)
+    # partition layout or scan order (a bare limit() is plan-dependent).
+    # Spark executes orderBy+limit as TakeOrdered (per-partition top-k,
+    # no full sort, no extra count() scan of the corpus).
     samp = (corpus.select(id_col, vec_col)
-            .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
             .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(sample).collect())
     if not samp:
-        samp = (corpus.select(id_col, vec_col)
-                .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-                .limit(sample).collect())
+        raise ValueError("empty corpus: cannot train IVF centroids")
     x = np.asarray([r[vec_col] for r in samp], dtype=np.float64)
     if x.ndim != 2 or x.size == 0:
         raise ValueError("empty/degenerate IVF training sample")
@@ -158,7 +191,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = _batch_matrix(batch.column(vec_col))
             vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             cells = (vecs @ cent.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
@@ -194,13 +227,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
     probes = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
     cand = (ck.join(F.broadcast(probes), "cell")
               .select(query_id_col, id_col).distinct())
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    scored = (cand.join(corpus.select(id_col, vec_col), id_col)
-                  .join(F.broadcast(q), query_id_col)
-                  .select(query_id_col, id_col,
-                          (_dot_expr(vec_col, "__qvec")
-                           / (_norm_expr(vec_col) * _norm_expr("__qvec")))
-                          .alias("cosine")))
+    scored = _rerank(cand, corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
@@ -226,13 +253,7 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
     cand = (ck.join(qk.withColumnRenamed(id_col, query_id_col)
                     .hint("broadcast"), ["table", "bucket"])
               .select(query_id_col, id_col).distinct())
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    scored = (cand.join(corpus.select(id_col, vec_col), id_col)
-                  .join(F.broadcast(q), query_id_col)
-                  .select(query_id_col, id_col,
-                          (_dot_expr(vec_col, "__qvec")
-                           / (_norm_expr(vec_col) * _norm_expr("__qvec")))
-                          .alias("cosine")))
+    scored = _rerank(cand, corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
                                                  F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -121,6 +121,10 @@ def register_fingerprint(spark: SparkSession, name: str = "fnv1a64") -> None:
                     "fnv1a64: nullable column widened to float64 with "
                     "|values| > 2^53 — precision lost; coalesce NULLs "
                     "JVM-side (e.g. coalesce(col, 0)) before hashing")
+            if np.any(vals != np.floor(vals)):
+                raise TypeError(
+                    "fnv1a64 takes integer ids, got fractional doubles — "
+                    "an astype(int64) here would silently hash a wrong id")
             out = np.zeros(len(s), dtype=np.uint64)
             if mask.any():
                 out[mask.to_numpy()] = fnv1a64(vals.astype(np.int64))

@@ -25,7 +25,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -43,6 +43,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows, "
@@ -68,6 +70,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         else:
             failures += 1
     # smoke entry()
+    if only:
+        spark.stop()
+        return failures
     edf = entrymod.entry(spark)
     n = edf.count()
     print(f"[entry]     {n} rows, schema={edf.schema.simpleString()}")
