@@ -62,30 +62,47 @@ def fnv1a64_bytes(data: bytes) -> int:
     return h
 
 
-def fnv1a64_str_array(strings) -> np.ndarray:
-    """Vectorized FNV-1a64 over variable-length UTF-8 strings.
+def fnv1a64_buf(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a64 over n variable-length byte strings packed in
 
-    Concatenates the batch into one byte buffer and runs length-grouped
-    vector passes: all strings of the same byte-length hash together, so
-    the Python-level loop is over *distinct lengths*, not rows.
+    one uint8 buffer; string i is ``buf[offsets[i]:offsets[i+1]]``.
+    Position-grouped vector passes: the Python-level loop is over byte
+    POSITIONS (bounded by the longest string), not rows — so an Arrow
+    StringArray's (values buffer, offsets) hashes with zero per-row
+    Python and zero re-encoding.
     """
-    enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
-    n = len(enc)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
     out = np.full(n, FNV64_OFFSET, dtype=np.uint64)
     if n == 0:
         return out
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
-    max_len = int(lens.max()) if n else 0
+    starts = offsets[:-1]
+    max_len = int(lens.max())
     with np.errstate(over="ignore"):
         for pos in range(max_len):
             active = lens > pos
             if not active.any():
                 break
-            idx = offsets[:-1][active] + pos
+            idx = starts[active] + pos
             out[active] = (out[active] ^ buf[idx].astype(np.uint64)) * FNV64_PRIME
     return out
+
+
+def fnv1a64_str_array(strings) -> np.ndarray:
+    """Vectorized FNV-1a64 over variable-length UTF-8 strings.
+
+    Concatenates the batch into one byte buffer and defers to the
+    packed-buffer kernel (fnv1a64_buf).
+    """
+    enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
+    n = len(enc)
+    if n == 0:
+        return np.full(0, FNV64_OFFSET, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return fnv1a64_buf(buf, offsets)
 
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:

@@ -23,13 +23,59 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..hash import fnv1a64, fnv1a64_str_array, splitmix64
+from ..hash import fnv1a64, fnv1a64_buf, splitmix64
 
 U64 = np.uint64
+_FNV_PRIME = U64(0x100000001B3)
+
+
+def _hash_str_arrow(arr: pa.Array) -> np.ndarray:
+    """FNV-1a64 of every element of an Arrow string array, read straight
+
+    from its (offsets, data) buffers — no Python string objects, no
+    re-encode, no per-row loop (see hash.fnv1a64_buf)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("null tokens in string array")
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    elif pa.types.is_string(arr.type):
+        odt = np.int32
+    else:
+        raise TypeError(f"expected string array, got {arr.type}")
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return fnv1a64_buf(data, offs)
+
+
+def _list_lens(col: pa.Array) -> np.ndarray:
+    return pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+_FNV_OFFSET = U64(0xCBF29CE484222325)
+
+
+def _rolling_shingle_hash(wh: np.ndarray, n: int) -> np.ndarray:
+    """Combine n consecutive word hashes into one shingle hash, for every
+
+    window start in the flat array (len(wh) - n + 1 outputs).  The chain
+    starts from the FNV offset basis and interleaves multiply between
+    every XOR: starting from wh[0] directly would make positions 0/1
+    commute (XOR) and equal adjacent words cancel to zero — both real
+    collisions on natural text."""
+    n_flat = len(wh) - n + 1
+    key = np.full(n_flat, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(n):
+            key = (key ^ wh[r:r + n_flat]) * _FNV_PRIME
+    return key
 
 
 # ---------------- exact dedup ----------------------------------------------
@@ -61,24 +107,6 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 # ---------------- shingles & MinHash ---------------------------------------
 
 
-def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    """Distinct FNV-1a64 hashes of word n-gram shingles."""
-    if len(tokens) < n:
-        return np.empty(0, dtype=np.uint64)
-    grams = [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
-    return np.unique(fnv1a64_str_array(grams))
-
-
-def _minhash_sig(sh: np.ndarray, perm_mults: np.ndarray,
-                 perm_adds: np.ndarray) -> np.ndarray:
-    """k-permutation MinHash: min over (a_i * h + b_i) per permutation."""
-    if sh.size == 0:
-        return np.full(len(perm_mults), np.iinfo(np.uint64).max, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        vals = perm_mults[:, None] * sh[None, :] + perm_adds[:, None]
-    return vals.min(axis=1)
-
-
 def _perms(k: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
     base = splitmix64(np.arange(2 * k, dtype=np.uint64) + U64(seed))
     return (base[:k] | U64(1)), base[k:]
@@ -87,48 +115,95 @@ def _perms(k: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_n: int = 3,
                        num_perm: int = 128) -> DataFrame:
-    """(id, sig array<long>) — per-partition vectorized, zero shuffle."""
+    """(id, sig array<long>) — per-partition vectorized, zero shuffle.
+
+    Tokenization is JVM-side (split); per Arrow batch the whole flat
+    token stream hashes in one packed-buffer FNV pass, shingle hashes
+    are a rolling FNV combine over the flat word-hash array (window =
+    shingle_n), and the k-permutation minima reduce per document with
+    np.minimum.reduceat over contiguous doc segments.  Python-level
+    loops run over permutation BLOCKS and byte positions, never rows —
+    MinHash over a multiset equals MinHash over the set, so no per-doc
+    unique() is needed either."""
     mults, adds = _perms(num_perm)
+    maxu = np.iinfo(np.uint64).max
+    PERM_BLOCK = 8  # bounds the (block x shingles) scratch matrix
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             ids = batch.column(id_col)
-            texts = batch.column(text_col).to_pylist()
-            sigs = [
-                _minhash_sig(_shingle_hashes(t.split(" ") if t else [],
-                                             shingle_n),
-                             mults, adds).view(np.int64)
-                for t in texts
-            ]
-            arr = pa.array([s.tolist() for s in sigs],
-                           type=pa.list_(pa.int64()))
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            wh = _hash_str_arrow(toks.flatten())
+            total = len(wh)
+            n_flat = max(total - shingle_n + 1, 0)
+            sh_counts = np.maximum(lens - shingle_n + 1, 0)
+            sig = np.full((n_docs, num_perm), maxu, dtype=np.uint64)
+            if n_flat > 0 and sh_counts.sum() > 0:
+                key = _rolling_shingle_hash(wh, shingle_n)
+                # a shingle is valid iff its whole window stays in one doc
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+                valid = doc_of[:n_flat] == doc_of[shingle_n - 1:]
+                sh = key[valid]
+                seg_starts = np.concatenate(
+                    ([0], np.cumsum(sh_counts)[:-1]))
+                ne = sh_counts > 0
+                starts_ne = seg_starts[ne]
+                with np.errstate(over="ignore"):
+                    for b0 in range(0, num_perm, PERM_BLOCK):
+                        b1 = min(b0 + PERM_BLOCK, num_perm)
+                        vals = (mults[b0:b1, None] * sh[None, :]
+                                + adds[b0:b1, None])
+                        sig[ne, b0:b1] = np.minimum.reduceat(
+                            vals, starts_ne, axis=1).T
+            values = pa.array(sig.reshape(-1).view(np.int64))
+            offsets = pa.array(
+                np.arange(0, (n_docs + 1) * num_perm, num_perm,
+                          dtype=np.int32))
+            arr = pa.ListArray.from_arrays(offsets, values)
             yield pa.RecordBatch.from_arrays([ids, arr], names=[id_col, "sig"])
 
-    return df.select(id_col, text_col).mapInArrow(
+    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
         fn, f"{id_col} long, sig array<long>")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 32, rows: int = 4) -> DataFrame:
+                        bands: int = 32, rows: int = 4,
+                        max_bucket: int | None = 500) -> DataFrame:
     """Band the signatures and self-join on (band, band-signature).
 
     Only (band_id, 8-byte band hash, id) rows shuffle.  Output: distinct
     (a, b) candidate id pairs with a < b.
+
+    ``max_bucket`` guards the self-join against quadratic hot buckets
+    (boilerplate-heavy corpora put thousands of near-identical docs in
+    one (band, key) bucket): buckets larger than the cap are dropped
+    via a broadcast anti-join on the (few) oversized keys.  Pairs inside
+    a dropped bucket are still found through any of the other bands
+    unless they are near-identical across ALL bands — run exact dedup
+    first (dedupe_exact) to remove those, which is the standard pipeline
+    order.  Pass ``max_bucket=None`` to disable.
     """
     def band_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             ids = batch.column(id_col).to_numpy()
-            sig = np.asarray(batch.column("sig").to_pylist(),
-                             dtype=np.int64).view(np.uint64)
+            scol = batch.column("sig")
+            sig = (scol.flatten().to_numpy(zero_copy_only=False)
+                   .astype(np.int64, copy=False).view(np.uint64)
+                   .reshape(len(scol), -1))
             out_ids, out_band, out_key = [], [], []
             for b in range(bands):
                 chunk = sig[:, b * rows:(b + 1) * rows]
                 key = fnv1a64(chunk[:, 0])
                 with np.errstate(over="ignore"):
                     for r in range(1, rows):
-                        key = (key ^ fnv1a64(chunk[:, r])) * U64(0x100000001B3)
+                        key = (key ^ fnv1a64(chunk[:, r])) * _FNV_PRIME
                 out_ids.append(ids)
                 out_band.append(np.full(len(ids), b, dtype=np.int32))
                 out_key.append(key.view(np.int64))
@@ -139,6 +214,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                 names=[id_col, "band", "band_key"])
 
     banded = sig_df.mapInArrow(band_fn, f"{id_col} long, band int, band_key long")
+    if max_bucket is not None:
+        # window count over the SAME hash-partitioning the self-join
+        # needs: one shuffle total, and the two join sides are identical
+        # subplans so the exchange is reused, not recomputed
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded = (banded.withColumn("__n", F.count("*").over(w))
+                        .where(F.col("__n") <= max_bucket).drop("__n"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, ["band", "band_key"])
@@ -148,35 +232,76 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def shingle_hash_sets(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """(id, shs: sorted distinct shingle hashes array<long>, n int).
+
+    Same rolling-FNV shingle hashes as minhash_signatures, one compact
+    row per doc — the per-pair verify can then intersect two int64
+    arrays JVM-side instead of re-exploding string shingles."""
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col)
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            wh = _hash_str_arrow(toks.flatten())
+            total = len(wh)
+            n_flat = max(total - shingle_n + 1, 0)
+            counts = np.zeros(n_docs, dtype=np.int64)
+            vals = np.empty(0, dtype=np.int64)
+            if n_flat > 0:
+                key = _rolling_shingle_hash(wh, shingle_n)
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+                valid = doc_of[:n_flat] == doc_of[shingle_n - 1:]
+                sh, shd = key[valid], doc_of[:n_flat][valid]
+                order = np.lexsort((sh, shd))
+                sh, shd = sh[order], shd[order]
+                if len(sh):
+                    keep = np.ones(len(sh), dtype=bool)
+                    keep[1:] = (sh[1:] != sh[:-1]) | (shd[1:] != shd[:-1])
+                    sh, shd = sh[keep], shd[keep]
+                counts = np.bincount(shd, minlength=n_docs)
+                vals = sh.view(np.int64)
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+            arr = pa.ListArray.from_arrays(offsets, pa.array(vals))
+            yield pa.RecordBatch.from_arrays(
+                [ids, arr, pa.array(counts.astype(np.int32))],
+                names=[id_col, "shs", "n"])
+
+    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
+        fn, f"{id_col} long, shs array<long>, n int")
+
+
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_n: int = 3,
                    threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs; keeps sim >= threshold.
 
-    Shingle sets are joined ONLY for candidate ids (semi-join pruned),
-    so verification cost scales with candidates, not with the corpus.
+    Shingle-hash sets are built ONLY for candidate ids (semi-join
+    pruned), so verification cost scales with candidates, not with the
+    corpus; the intersection is a JVM-side array_intersect of two
+    sorted int64 hash arrays.  "Exact" modulo 64-bit shingle-hash
+    collisions (P < n_shingles^2 / 2^64 per pair — negligible).
     """
-    ids = (pairs.select(F.col("a").alias(id_col))
-                .union(pairs.select(F.col("b").alias(id_col))).distinct())
+    ids = (pairs.select(F.explode(F.array("a", "b")).alias(id_col))
+                .distinct())
     docs = (df.join(ids, id_col, "semi")
               # guard: docs shorter than one shingle have no shingle set
               .where(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
-    shingles = (docs.select(
-        id_col,
-        F.explode(F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {shingle_n}), "
-            f"i -> array_join(slice(split({text_col}, ' '), i + 1, {shingle_n}), ' '))"
-        )).alias("shingle")).distinct())
-    sa = shingles.select(F.col(id_col).alias("a"), F.col("shingle"))
-    sb = shingles.select(F.col(id_col).alias("b"), F.col("shingle"))
-    inter = (pairs.join(sa, "a").join(sb, ["b", "shingle"])
-                  .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    return (inter
-            .join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
-            .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
-            .withColumn("jaccard", F.col("n_inter")
-                        / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    sets = shingle_hash_sets(docs, text_col, id_col, shingle_n)
+    sa = sets.select(F.col(id_col).alias("a"), F.col("shs").alias("__sha"),
+                     F.col("n").alias("__na"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("shs").alias("__shb"),
+                     F.col("n").alias("__nb"))
+    return (pairs.join(sa, "a").join(sb, "b")
+            .withColumn("__ni", F.size(F.array_intersect("__sha", "__shb")))
+            .withColumn("jaccard", F.col("__ni")
+                        / (F.col("__na") + F.col("__nb") - F.col("__ni")))
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
 
@@ -184,13 +309,20 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def near_duplicates(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 3,
                     threshold: float = 0.8, num_perm: int = 128,
-                    bands: int = 32, rows: int = 4) -> DataFrame:
+                    bands: int = 32, rows: int = 4,
+                    max_bucket: int | None = 500) -> DataFrame:
     """MinHash LSH -> exact-Jaccard verify.  With the default banding the
 
     miss probability at sim>=0.8 is <1e-7, so the output matches the
-    exact O(n^2) Jaccard join while scaling as O(candidates)."""
+    exact O(n^2) Jaccard join while scaling as O(candidates).
+    ``max_bucket`` caps LSH bucket size (see lsh_candidate_pairs)."""
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
+    # the verify consumes candidates twice (id pruning + pair join);
+    # persist the small pair set so LSH generation runs once
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
@@ -201,25 +333,35 @@ def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (charikar): sign-sum of
 
-    fingerprint bits weighted by term frequency."""
+    fingerprint bits weighted by term frequency.  Tokenization and
+    empty-word filtering are JVM-side; per batch the flat word stream
+    hashes once (packed-buffer FNV) and each bit's per-doc sign-sum is
+    one np.bincount over the flat stream — summing per occurrence IS
+    the term-frequency weighting, so no per-doc unique() is needed.
+    The Python-level loop is over the 64 bits, never rows."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             ids = batch.column(id_col)
-            out = np.zeros(batch.num_rows, dtype=np.uint64)
-            for i, t in enumerate(batch.column(text_col).to_pylist()):
-                words = [w for w in t.split(" ") if w] if t else []
-                if not words:
-                    continue
-                uniq, cnt = np.unique(words, return_counts=True)
-                h = fnv1a64_str_array(uniq.tolist())
-                bits = ((h[:, None] >> bit_idx[None, :]) & U64(1)).astype(np.int64)
-                acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-                out[i] = np.sum((acc > 0).astype(np.uint64) << bit_idx)
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            wh = _hash_str_arrow(toks.flatten())
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            tot = lens.astype(np.float64)
+            out = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(64):
+                bit = ((wh >> U64(b)) & U64(1)).astype(np.float64)
+                s = np.bincount(doc_of, weights=bit, minlength=n_docs)
+                # acc = (+1)*s + (-1)*(tot-s) = 2s - tot ; bit set if > 0
+                out |= ((2.0 * s - tot) > 0).astype(np.uint64) << U64(b)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out.view(np.int64))], names=[id_col, "simhash"])
 
-    return df.select(id_col, text_col).mapInArrow(
+    toks_expr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                         lambda t: t != "")
+    return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
         fn, f"{id_col} long, simhash long")
 
 

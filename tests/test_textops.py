@@ -193,3 +193,50 @@ def test_cosine_topk_ivf_recall(spark):
              cosine_topk_ivf(corpus, queries, dim=32, k=5,
                              n_cells=16, n_probe=6).collect()}
     assert ap == again
+
+
+def test_lsh_bucket_cap_skew(spark):
+    """1k identical docs would make every (band, key) bucket quadratic
+    (half a million pairs per band); the cap drops those buckets so the
+    plan completes with zero candidate pairs from the hot cluster while
+    normal near-dup pairs elsewhere still surface."""
+    from qsketch.spark.textops import (lsh_candidate_pairs,
+                                       minhash_signatures, near_duplicates)
+
+    words = [f"w{i}" for i in range(40)]
+    hot = " ".join(words)
+    rows = [(i, hot) for i in range(1000)]
+    near = list(words)
+    near[0] = "MUTATED"
+    rows += [(2000, " ".join(reversed(words))), (2001, hot + " extra tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df)
+    capped = lsh_candidate_pairs(sigs, max_bucket=100)
+    # the 1000-doc hot cluster is dropped from every band; the only ids
+    # that may survive are the two non-identical docs
+    surviving = {r["a"] for r in capped.collect()} | {
+        r["b"] for r in capped.collect()}
+    assert not any(i < 1000 for i in surviving)
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket=None)
+    assert uncapped.count() >= 1000 * 999 // 2  # what the cap avoids
+
+
+def test_minhash_multiset_equals_set(spark):
+    """Repeating a shingle must not change the signature (min is
+    idempotent), so the no-unique vectorized path is safe."""
+    from qsketch.spark.textops import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f a b c d e f a b c d e f")],
+        "doc_id long, text string")
+    # doc2's shingle multiset adds only window-crossing shingles; compare
+    # doc1 against itself duplicated exactly (same shingle set)
+    df2 = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c")], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df2, shingle_n=3).collect()}
+    # doc1 = shingles {abc, bca, cab}; doc2 = {abc}: doc1 min <= doc2 min
+    a = np.array(sigs[1], dtype=np.int64).view(np.uint64)
+    b = np.array(sigs[2], dtype=np.int64).view(np.uint64)
+    assert (a <= b).all()
