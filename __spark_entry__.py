@@ -188,6 +188,69 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return hh.select(F.col("t").alias("token_id"), "exact_count", "est_count")
 
 
+def q_cms_heavy_hitters_sketch(spark, sf_dir):
+    """Scale path: CMS-only top-k — candidates from per-partition exact
+    top-M, counts from the merged CMS; no global exact groupBy anywhere
+    (rows-only; recall vs the exact path asserted in pytest)."""
+    from qsketch.spark.queries import heavy_hitters_sketch
+
+    toks = token_ids(_doc_tokens(spark, sf_dir)).select(
+        F.col("token_id").alias("t"))
+    return heavy_hitters_sketch(toks, "t", k=20).select(
+        F.col("t").alias("token_id"), "est_count", "lower_bound")
+
+
+def q_hll_vs_builtin(spark, sf_dir):
+    """Interop cross-check (SURVEY §4.2): our HLL estimate side-by-side
+    with Spark's hll_sketch_agg / approx_count_distinct builtins and the
+    exact count, plus the realized relative error (rows-only; the error
+    bound itself is asserted in pytest)."""
+    from qsketch.spark.agg import SketchSpec, build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    ours = build(ev, (SketchSpec("hll", "user_id"),))
+    est = float(ours.sketches["hll:user_id"].estimate())
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("spark_hll"),
+        F.approx_count_distinct("user_id").alias("spark_approx"))
+    return row.select(
+        "exact", "spark_hll", "spark_approx",
+        F.lit(est).alias("qsketch_hll"),
+        F.round(F.abs(F.lit(est) - F.col("exact")) / F.col("exact"), 6)
+         .alias("qsketch_rel_err"))
+
+
+def q_simhash_near_duplicates(spark, sf_dir):
+    """SimHash -> bit-slice Hamming pairing (rows-only; exact-Hamming
+    parity asserted in pytest)."""
+    from qsketch.spark.textops import simhash_near_duplicates
+
+    return (simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+            .orderBy("a", "b"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize a deterministic opaque-binary
+    media table, decode+featurize per Arrow batch (stub codec —
+    documented), plus the pure-Catalyst video frame-sampling plan
+    (rows-only; determinism and batch shapes asserted in pytest)."""
+    from qsketch.spark.multimodal import (extract_features, frame_sample,
+                                          synthesize_media)
+
+    media = synthesize_media(spark, 300, seed=7)
+    feats = extract_features(media)
+    frames = (frame_sample(media, every_n=10)
+              .groupBy("media_id").agg(F.count("*").alias("n_sampled")))
+    return (feats.join(frames, "media_id", "left")
+            .select("media_id", "payload_bytes",
+                    F.round(F.aggregate("features", F.lit(0.0),
+                                        lambda a, x: a + x), 6)
+                     .alias("feat_sum"),
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+            .orderBy("media_id"))
+
+
 def q_kll_nchars_quantiles(spark, sf_dir):
     d = _docs(spark, sf_dir).select("n_chars")
     return quantiles(d, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], "kll")
@@ -324,6 +387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_distinct_parts_exact": q_lineitem_distinct_parts_exact,
         "hll_cardinality": q_hll_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_heavy_hitters_sketch": q_cms_heavy_hitters_sketch,
+        "hll_vs_builtin": q_hll_vs_builtin,
+        "simhash_near_duplicates": q_simhash_near_duplicates,
+        "multimodal_features": q_multimodal_features,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "qf_fpr": q_qf_fpr,

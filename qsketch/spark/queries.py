@@ -93,6 +93,61 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
                           "est_count")
 
 
+def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
+                         params: dict | None = None,
+                         candidates_per_partition: int | None = None) -> DataFrame:
+    """Top-k frequency with NO global exact groupBy — the 100-TB path.
+
+    Candidates come from per-partition exact top-M (one narrow
+    mapInArrow pass, vectorized np.unique/bincount per batch; M = 8k by
+    default), so only P x M candidate rows ever shuffle.  The global
+    count for each candidate is the CMS estimate (merged through the
+    two-phase state tree); ``lower_bound`` is the summed per-partition
+    exact count over partitions where the value made top-M (a true
+    lower bound; est_count >= true >= lower_bound).  Any value with
+    global frequency above ~N/M appears in some partition's top-M, so
+    recall at the head of a Zipf distribution is effectively 1 (asserted
+    vs the exact path in tests).
+    """
+    import pyarrow as pa
+
+    m = candidates_per_partition or 8 * k
+    spec = SketchSpec("cms", col, params or {})
+    res = build(df, (spec,))
+    cms_bytes = res.sketches[spec.name].to_bytes()
+
+    def topm(batches):
+        uniqs, cnts = [], []
+        for batch in batches:
+            arr = batch.column(col)
+            if arr.null_count:
+                arr = arr.drop_null()
+            v = arr.to_numpy(zero_copy_only=False)
+            if v.size == 0:
+                continue
+            u, c = np.unique(v, return_counts=True)
+            uniqs.append(u)
+            cnts.append(c)
+        if not uniqs:
+            return
+        u = np.concatenate(uniqs)
+        c = np.concatenate(cnts)
+        uu, inv = np.unique(u, return_inverse=True)
+        tot = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        order = np.lexsort((uu, -tot))[:m]  # ties break toward small value
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uu[order].astype(np.int64)),
+             pa.array(tot[order])],
+            names=[col, "part_cnt"])
+
+    cands = df.select(col).mapInArrow(topm, f"{col} long, part_cnt long")
+    agg = cands.groupBy(col).agg(F.sum("part_cnt").alias("lower_bound"))
+    est = with_frequency(agg, col, cms_bytes, "est_count")
+    return (est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
+               .select(col, "est_count", "lower_bound"))
+
+
 def quantiles(df: DataFrame, col: str, qs: list[float],
               kind: str = "kll", params: dict | None = None) -> DataFrame:
     """Quantile estimates via KLL or t-digest over a numeric column."""

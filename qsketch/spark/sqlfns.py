@@ -91,6 +91,77 @@ def register_frequency(spark: SparkSession, name: str,
     spark.udf.register(name, fn)
 
 
+def register_sketch_build(spark: SparkSession, kind: str,
+                          name: str | None = None,
+                          params: dict | None = None) -> str:
+    """SQL-visible sketch BUILD: registers a grouped-agg pandas UDF so
+
+    SQL users can build sketch states with plain GROUP BY::
+
+        register_sketch_build(spark, "hll")
+        spark.sql("SELECT source, qsketch_hll_build(token_id) AS state"
+                  "  FROM toks GROUP BY source")
+
+    NOTE: Spark grouped-agg UDFs have no partial-aggregation path — raw
+    values shuffle to their group.  The 100-TB build path remains
+    agg.build / agg.build_grouped (map-side partials, state-only
+    shuffle); this is the SQL interop/convenience surface.  Returns the
+    registered function name."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    from ..hash import fnv1a64
+    from .agg import _HASH_KINDS, SketchSpec, _Acc
+
+    params = params or {}
+    name = name or f"qsketch_{kind}_build"
+    spec = SketchSpec(kind, "v", params)
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def build_state(s: pd.Series) -> bytes:
+        acc = _Acc(spec)
+        s = s.dropna()
+        if kind in _HASH_KINDS:
+            # int-id recovery fails loudly on precision-lossy floats
+            vals, _ = _int_probe_values(s)
+            u, c = np.unique(vals, return_counts=True)
+            acc.add(u, fnv1a64(u), c)
+        else:  # quantile sketches take raw numerics, floats included
+            acc.add(s.to_numpy(), None)
+        return acc.finish()
+
+    spark.udf.register(name, build_state)
+    return name
+
+
+def register_estimate(spark: SparkSession, name: str = "qsketch_estimate") -> None:
+    """Scalar decode of a serialized state -> its headline estimate
+
+    (HLL estimate / QF-Bloom-CMS cardinality-style summary), so a full
+    build+read round trip is expressible in SQL."""
+    from .. import base
+
+    @pandas_udf("double")
+    def est(states: pd.Series) -> pd.Series:
+        out = []
+        for b in states:
+            sk = base.from_bytes(bytes(b))
+            if hasattr(sk, "estimate"):
+                try:
+                    out.append(float(sk.estimate()))
+                    continue
+                except TypeError:
+                    pass  # point-estimate sketches (CMS) need arguments
+            if hasattr(sk, "cardinality"):
+                out.append(float(sk.cardinality()))
+            else:
+                raise TypeError(
+                    f"{type(sk).__name__} has no argument-free estimate")
+        return pd.Series(out, dtype="float64")
+
+    spark.udf.register(name, est)
+
+
 def register_fingerprint(spark: SparkSession, name: str = "fnv1a64") -> None:
     """Reference-parity FNV-1a64 fingerprints from SQL (filter.go:134):
 

@@ -365,6 +365,68 @@ def simhash(df: DataFrame, text_col: str = "text",
         fn, f"{id_col} long, simhash long")
 
 
+def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
+                  max_hamming: int = 3, n_slices: int = 4,
+                  max_bucket: int | None = 500) -> DataFrame:
+    """Hamming-ball pairing over 64-bit simhashes via bit-slice bucketing.
+
+    Pigeonhole: two hashes within Hamming distance d differ in <= d of
+    n_slices disjoint slices, so they AGREE on at least one slice when
+    n_slices >= d + 1 — candidates are pairs sharing any (slice_idx,
+    slice_value) bucket, verified with a JVM-side popcount
+    (bit_count(a ^ b) <= max_hamming).  All Catalyst: slice extraction
+    is shift+mask, the join shuffles (slice, 16-bit value, id) rows
+    only.  ``max_bucket`` drops degenerate buckets exactly like
+    lsh_candidate_pairs (run exact dedup first).
+    """
+    if n_slices < max_hamming + 1:
+        raise ValueError("need n_slices >= max_hamming + 1 for full recall")
+    if 64 % n_slices:
+        raise ValueError("n_slices must divide 64")
+    width = 64 // n_slices
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.struct(F.lit(i).alias("slice"),
+                 F.shiftrightunsigned(F.col("simhash"), i * width)
+                 .bitwiseAND(F.lit(mask)).alias("slice_val"))
+        for i in range(n_slices)])
+    sliced = (sh_df.select(id_col, "simhash", F.explode(slices).alias("s"))
+                   .select(id_col, "simhash",
+                           F.col("s.slice").alias("slice"),
+                           F.col("s.slice_val").alias("slice_val")))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("slice", "slice_val")
+        sliced = (sliced.withColumn("__n", F.count("*").over(w))
+                        .where(F.col("__n") <= max_bucket).drop("__n"))
+    left = sliced.alias("l")
+    right = sliced.alias("r")
+    pairs = (left.join(right, ["slice", "slice_val"])
+             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"),
+                     F.col("l.simhash").alias("__ha"),
+                     F.col("r.simhash").alias("__hb"))
+             .distinct())
+    return (pairs.withColumn(
+                "hamming",
+                F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", max_hamming: int = 3,
+                            max_bucket: int | None = 500) -> DataFrame:
+    """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
+
+    simhash column exists for.  (a, b, hamming) for all pairs within
+    max_hamming; full recall for d <= n_slices - 1 by pigeonhole."""
+    sh = simhash(df, text_col, id_col)
+    return simhash_pairs(sh, id_col, max_hamming)
+
+
 # ---------------- text analysis --------------------------------------------
 
 _STOPWORDS = ("the a an and or of to in is are was were be been on at for "

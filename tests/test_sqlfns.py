@@ -95,3 +95,50 @@ def test_sql_fingerprint_strings(spark):
         expect = int(np.int64(np.uint64(fnv1a64_bytes(w.encode()))))
         assert got[w] == expect
     assert got[None] is None
+
+
+def test_sql_build_and_estimate_round_trip(spark):
+    """Full build+read in SQL: GROUP BY builds states via the grouped-agg
+    UDF, the scalar estimator decodes them — QF cardinality is exact,
+    HLL lands within its bound."""
+    from qsketch.spark.sqlfns import register_estimate, register_sketch_build
+
+    register_sketch_build(spark, "quotient")
+    register_sketch_build(spark, "hll")
+    register_estimate(spark)
+    df = spark.createDataFrame(
+        [(i % 4, i % 1000) for i in range(20_000)], "g int, v long")
+    df.createOrReplaceTempView("sql_build_t")
+    # NB: grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # SELECT (INVALID_PANDAS_UDF_PLACEMENT) — exact counts come separately
+    rows = spark.sql(
+        "SELECT g, qsketch_estimate(qsketch_quotient_build(v)) AS qf_card,"
+        "       qsketch_estimate(qsketch_hll_build(v)) AS hll_est"
+        " FROM sql_build_t GROUP BY g").collect()
+    exact = {r["g"]: r["exact"] for r in spark.sql(
+        "SELECT g, COUNT(DISTINCT v) AS exact FROM sql_build_t GROUP BY g"
+    ).collect()}
+    assert len(rows) == 4
+    for r in rows:
+        assert r["qf_card"] == exact[r["g"]]
+        assert abs(r["hll_est"] - exact[r["g"]]) / exact[r["g"]] < 0.05
+
+
+def test_sql_built_state_interops_with_python_merge(spark):
+    """States built from SQL deserialize and merge with Python-built
+    states (same framing)."""
+    from qsketch import base
+    from qsketch.hll import HyperLogLog
+    from qsketch.spark.sqlfns import register_sketch_build
+
+    register_sketch_build(spark, "hll", name="hll_b2")
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+    df.createOrReplaceTempView("sql_build_t2")
+    blob = spark.sql(
+        "SELECT hll_b2(v) AS st FROM sql_build_t2").first()["st"]
+    sk = base.from_bytes(bytes(blob))
+    other = HyperLogLog(sk.p)
+    import numpy as np
+    other.update(np.arange(4000, 9000))
+    merged = sk.merge(other)
+    assert abs(merged.estimate() - 9000) / 9000 < 0.05

@@ -240,3 +240,55 @@ def test_minhash_multiset_equals_set(spark):
     a = np.array(sigs[1], dtype=np.int64).view(np.uint64)
     b = np.array(sigs[2], dtype=np.int64).view(np.uint64)
     assert (a <= b).all()
+
+
+def test_simhash_pairs_exact_hamming_parity(spark):
+    """Bit-slice bucketing + popcount verify must equal the exact
+    all-pairs Hamming join for d <= n_slices - 1 (pigeonhole recall,
+    popcount precision)."""
+    from itertools import combinations
+
+    from qsketch.spark.textops import simhash, simhash_pairs
+
+    vocab = [f"w{i}" for i in range(300)]
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(vocab[j] for j in rng.choice(300, 50, replace=False))))
+    # clones and near-clones of doc 0
+    rows.append((100, rows[0][1]))
+    w = rows[0][1].split(" "); w[7] = "EDIT"
+    rows.append((101, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {r["doc_id"]: int(r["simhash"]) & (2**64 - 1)
+          for r in simhash(df).collect()}
+    exact = {(a, b, bin(sh[a] ^ sh[b]).count("1"))
+             for a, b in combinations(sorted(sh), 2)
+             if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_pairs(simhash(df), max_hamming=3).collect()}
+    assert got == exact
+    assert (0, 100, 0) in got  # identical docs at hamming 0
+
+
+def test_heavy_hitters_sketch_recall(spark):
+    """CMS-only top-k (per-partition candidates, no exact groupBy) must
+    recover the exact top-k head of a Zipf stream."""
+    from qsketch.spark.queries import heavy_hitters_sketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.3, 200_000)
+    vals = vals[vals < 10_000].astype(np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "t long").repartition(8)
+
+    import collections
+    exact_top = [v for v, _ in collections.Counter(vals.tolist()).most_common(20)]
+    got = heavy_hitters_sketch(df, "t", k=20).collect()
+    got_vals = [r["t"] for r in got]
+    recall = len(set(exact_top) & set(got_vals)) / 20
+    assert recall >= 0.9
+    truth = collections.Counter(vals.tolist())
+    for r in got:
+        assert r["est_count"] >= truth[r["t"]]      # CMS never undercounts
+        assert r["lower_bound"] <= truth[r["t"]]    # partial sums are a lower bound
