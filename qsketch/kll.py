@@ -9,9 +9,18 @@ Determinism: the classic KLL compaction flips a random coin for the
 keep-odd/keep-even offset; here the coin is the parity of an FNV-1a
 hash of the compactor's content, so the sketch is a deterministic
 function of (input multiset, arrival order, merge shape) — no RNG, no
-wall clock.  Merge associativity holds within the rank-error bound
-(exact byte-identity across different merge *shapes* is not a KLL
-property; the quotient filter provides that where required).
+wall clock.
+
+Canonical state: every compactor level is kept SORTED at all times, so
+the in-memory state (and its serialization) is a pure function of the
+per-level item multisets — merge(a, b) and merge(b, a) are
+byte-identical, and the engine's canonical merge tree (states sorted by
+partition_id, fixed fan-in; see spark.agg.tree_merge/_finalize) then
+yields byte-identical final states regardless of task scheduling or
+arrival order.  Merge ASSOCIATIVITY across different tree shapes still
+holds only within the rank-error bound (lossy intermediate compactions
+— not a KLL property; the quotient filter provides exact shape
+independence where required).
 """
 
 from __future__ import annotations
@@ -52,7 +61,9 @@ class KLLSketch:
         v = np.asarray(values, dtype=np.float64).ravel()
         if v.size == 0:
             return
-        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        v = v + 0.0  # canonicalize -0.0 (sorts equal to +0.0, differs in bytes)
+        # sorted-level invariant: state depends only on the level multiset
+        self.compactors[0] = np.sort(np.concatenate([self.compactors[0], v]))
         self.n += v.size
         self._compress()
 
@@ -66,7 +77,7 @@ class KLLSketch:
                 break
 
     def _compact_level(self, level: int) -> None:
-        c = np.sort(self.compactors[level])
+        c = self.compactors[level]  # sorted by invariant
         if len(c) % 2 == 1:  # keep one item at this level, compact the rest
             keep, c = c[-1:], c[:-1]
         else:
@@ -77,8 +88,10 @@ class KLLSketch:
         self.compactors[level] = keep
         if level + 1 == len(self.compactors):
             self.compactors.append(np.empty(0, dtype=np.float64))
-        self.compactors[level + 1] = np.concatenate(
-            [self.compactors[level + 1], promoted])
+        # promoted and the target level are each sorted -> one re-sort
+        # keeps the sorted-level invariant
+        self.compactors[level + 1] = np.sort(np.concatenate(
+            [self.compactors[level + 1], promoted]))
 
     # -- queries ---------------------------------------------------------
     def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
@@ -129,7 +142,9 @@ class KLLSketch:
         for l in range(levels):
             a = self.compactors[l] if l < len(self.compactors) else np.empty(0)
             b = other.compactors[l] if l < len(other.compactors) else np.empty(0)
-            out.compactors.append(np.concatenate([a, b]).astype(np.float64))
+            # sorted concat -> merge(a, b) == merge(b, a) byte-for-byte
+            out.compactors.append(np.sort(
+                np.concatenate([a, b]).astype(np.float64)))
         out.n = self.n + other.n
         out._compress()
         return out
@@ -153,8 +168,11 @@ class KLLSketch:
         for _ in range(nlev):
             (cnt,) = struct.unpack_from("<I", payload, off)
             off += 4
-            sk.compactors.append(
-                np.frombuffer(payload, dtype=np.float64, offset=off, count=cnt).copy())
+            # re-sort on load: blobs from before the sorted-level
+            # invariant may carry unsorted levels
+            sk.compactors.append(np.sort(
+                np.frombuffer(payload, dtype=np.float64, offset=off,
+                              count=cnt) + 0.0))
             off += 8 * cnt
         return sk
 

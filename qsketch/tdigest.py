@@ -45,6 +45,7 @@ class TDigest:
         v = np.asarray(values, dtype=np.float64).ravel()
         if v.size == 0:
             return
+        v = v + 0.0  # canonicalize -0.0 (lexsorts equal to +0.0, byte-differs)
         self._buf.append(v)
         self._buf_n += v.size
         self.n += v.size

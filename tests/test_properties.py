@@ -46,3 +46,66 @@ def test_no_false_negatives_ever(vals):
     assert qf.contains(np.array(vals, dtype=np.int64)).all()
     rt = QuotientFilter.from_bytes(qf.to_bytes())
     assert rt.contains(np.array(vals, dtype=np.int64)).all()
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=0, max_size=400),
+       st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=0, max_size=400))
+@settings(deadline=None, max_examples=40)
+def test_kll_merge_commutative_bytes(xs, ys):
+    """Sorted-level invariant: merge(a, b) == merge(b, a) byte-for-byte
+    (engine's canonical merge order then gives scheduling-independent
+    final states)."""
+    from qsketch.kll import KLLSketch
+
+    a = KLLSketch(32); a.update(np.asarray(xs, dtype=np.float64))
+    b = KLLSketch(32); b.update(np.asarray(ys, dtype=np.float64))
+    assert a.merge(b).to_bytes() == b.merge(a).to_bytes()
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=0, max_size=400),
+       st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=0, max_size=400))
+@settings(deadline=None, max_examples=40)
+def test_tdigest_merge_commutative_bytes(xs, ys):
+    """Canonical lexsort before k-space binning makes t-digest merge
+    byte-commutative."""
+    from qsketch.tdigest import TDigest
+
+    a = TDigest(50); a.update(np.asarray(xs, dtype=np.float64))
+    b = TDigest(50); b.update(np.asarray(ys, dtype=np.float64))
+    assert a.merge(b).to_bytes() == b.merge(a).to_bytes()
+
+
+def test_quantile_states_canonical_fold_is_arrival_order_independent():
+    """The engine folds states sorted by partition_id (_finalize /
+    tree_merge.merge_group); any arrival order of the same partials must
+    therefore produce byte-identical KLL and t-digest finals."""
+    import random
+
+    from qsketch.kll import KLLSketch
+    from qsketch.tdigest import TDigest
+    from qsketch import base
+
+    rng = np.random.default_rng(3)
+    partials = []
+    for pid in range(16):
+        k = KLLSketch(64); k.update(rng.normal(size=2000))
+        t = TDigest(100); t.update(rng.exponential(size=2000))
+        partials.append((pid, k.to_bytes(), t.to_bytes()))
+
+    def fold(rows):
+        rows = sorted(rows, key=lambda r: r[0])  # what the engine does
+        k = base.from_bytes(rows[0][1]); t = base.from_bytes(rows[0][2])
+        for _, kb, tb in rows[1:]:
+            k = k.merge(base.from_bytes(kb))
+            t = t.merge(base.from_bytes(tb))
+        return k.to_bytes(), t.to_bytes()
+
+    ref = fold(partials)
+    for seed in range(5):
+        shuffled = list(partials)
+        random.Random(seed).shuffle(shuffled)
+        assert fold(shuffled) == ref
