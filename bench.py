@@ -17,9 +17,16 @@ separate engine behavior from this microVM's memory system:
     adds no cross-worker coupling of its own (zero data shuffle; only
     log-depth state merges).
 
+Reproducibility: every throughput-bearing measurement is the MEDIAN of
+QSKETCH_BENCH_RUNS (default 3) warm runs, and the JSON carries the full
+[min, median, max] spread per parallelism level — single warm samples
+on this host are not evidence (run-to-run variance up to 9x under
+32-way oversubscription, see BASELINE.md host controls).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     QSKETCH_BENCH_DOCS (default 2000000).
+     QSKETCH_BENCH_DOCS (default 2000000),
+     QSKETCH_BENCH_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("QSKETCH_BENCH_DOCS", "2000000"))
+N_RUNS = int(os.environ.get("QSKETCH_BENCH_RUNS", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"tokenized_{N_DOCS}")
 
@@ -42,6 +50,17 @@ def _timed(fn):
     t0 = time.perf_counter()
     out = fn()
     return time.perf_counter() - t0, out
+
+
+def _median_timed(fn, runs=None):
+    """(median_sec, [sorted times], last_out) over ``runs`` warm runs."""
+    runs = runs or N_RUNS
+    ts, out = [], None
+    for _ in range(runs):
+        t, out = _timed(fn)
+        ts.append(t)
+    ts.sort()
+    return ts[len(ts) // 2], ts, out
 
 
 def _spin_control(spark, cpus: int) -> float:
@@ -79,11 +98,13 @@ def main() -> None:
         write_tokenized(spark, CACHE, N_DOCS, seed=42, num_partitions=64)
 
     t_cold, res = _timed(lambda: build_files(spark, CACHE, DEFAULT_SPECS))
-    t_warm, res = _timed(lambda: build_files(spark, CACHE, DEFAULT_SPECS))
+    t_warm, spread8, res = _median_timed(
+        lambda: build_files(spark, CACHE, DEFAULT_SPECS))
     n_tokens = res.n_tokens
     queries["build_all_sketches_cold"] = t_cold
     queries["build_all_sketches"] = t_warm
     tput[8] = n_tokens / t_warm
+    spreads = {"8": [round(t, 3) for t in spread8]}
     extras["tokens"] = n_tokens
     extras["tokens_per_sec"] = tput[8]
     extras["qf_cardinality"] = res.sketches["quotient:tokens"].cardinality()
@@ -101,37 +122,43 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    for name in ("qf_membership", "cms_heavy_hitters", "token_counts_top50",
-                 "kll_nchars_quantiles", "near_duplicates", "cosine_topk"):
+    for name in ("qf_membership", "cms_heavy_hitters",
+                 "cms_heavy_hitters_sketch", "token_counts_top50",
+                 "kll_nchars_quantiles", "near_duplicates",
+                 "simhash_near_duplicates", "cosine_topk"):
         fn = entrymod.queries()[name]
         t, _ = _timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t
     spin[8] = _spin_control(spark, 8)
     spark.stop()
 
-    # ---- scaling runs on the same input (warm measurements)
+    # ---- scaling runs on the same input (median of N_RUNS warm runs
+    # each; one warmup run first so allocator arenas are faulted in)
     for cpus in (2, CPUS):
         if cpus == 8:
             continue
         s = make_session(cpus)
         _timed(lambda: build_files(s, CACHE, (SketchSpec("hll", "tokens"),)))
-        t, r = _timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
+        t, spr, r = _median_timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
         queries[f"build_all_sketches_local{cpus}"] = t
         tput[cpus] = r.n_tokens / t
+        spreads[str(cpus)] = [round(x, 3) for x in spr]
         if cpus == CPUS:
             spin[cpus] = _spin_control(s, cpus)
         s.stop()
 
     extras["scaling"] = {
         "tokens_per_sec": {str(k): v for k, v in sorted(tput.items())},
+        "build_sec_spread_min_med_max": spreads,
+        "runs_per_level": N_RUNS,
         "efficiency_2_to_8": tput[8] / tput[2] / 4.0,
         f"efficiency_8_to_{CPUS}": (tput[CPUS] / tput[8] / (CPUS / 8))
         if CPUS in tput else None,
         "cpu_control_spin_eff_8_to_32":
             (spin.get(32, 0) / spin[8] / 4.0) if spin.get(32) else None,
-        "note": ("build efficiency tracks this microVM's raw memory "
-                 "bandwidth scaling 1:1 (see BASELINE.md); CPU-only "
-                 "control shows framework scaling"),
+        "note": ("medians of warm runs; build efficiency tracks this "
+                 "microVM's raw memory bandwidth scaling 1:1 (see "
+                 "BASELINE.md); CPU-only control shows framework scaling"),
     }
 
     print(json.dumps({

@@ -192,7 +192,10 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
             if batch.num_rows == 0:
                 continue
             vecs = _batch_matrix(batch.column(vec_col))
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            # not in-place: _batch_matrix may be a read-only zero-copy
+            # view when the source column is already float64
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             cells = (vecs @ cent.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col), pa.array(cells)], names=[id_col, "cell"])
@@ -232,6 +235,89 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select(query_id_col, id_col, "cosine", "rank"))
+
+
+class IVFIndex:
+    """Persisted IVF index: corpus written partitioned by cell, centroids
+
+    stored alongside.  A query scans ONLY its n_probe cells — partition
+    pruning at the file source (cell is a hive partition column), so at
+    100 TB a top-k touches n_probe/n_cells of the files instead of
+    re-assigning the corpus per call (which is what cosine_topk_ivf does
+    when handed a raw corpus)."""
+
+    def __init__(self, path: str, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.path = path
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, corpus: DataFrame, dim: int, path: str, n_cells: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample: int = 4096, seed: int = 0x1F5) -> "IVFIndex":
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        centroids = train_ivf_centroids(corpus, dim, n_cells, sample,
+                                        id_col=id_col, vec_col=vec_col,
+                                        seed=seed)
+        ck = ivf_assign(corpus, centroids, id_col, vec_col)
+        (corpus.select(id_col, vec_col).join(ck, id_col)
+               .write.partitionBy("cell").mode("overwrite")
+               .parquet(f"{path}/cells"))
+        flat = _pa.table({
+            "cell": np.repeat(np.arange(len(centroids), dtype=np.int32),
+                              centroids.shape[1]),
+            "component": np.tile(np.arange(centroids.shape[1],
+                                           dtype=np.int32), len(centroids)),
+            "value": centroids.reshape(-1),
+        })
+        _pq.write_table(flat, f"{path}/centroids.parquet")
+        return cls(path, centroids, id_col, vec_col)
+
+    @classmethod
+    def load(cls, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "IVFIndex":
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{path}/centroids.parquet")
+        cells = t.column("cell").to_numpy()
+        comp = t.column("component").to_numpy()
+        vals = t.column("value").to_numpy()
+        n_cells = int(cells.max()) + 1
+        dim = int(comp.max()) + 1
+        cent = np.zeros((n_cells, dim), dtype=np.float64)
+        cent[cells, comp] = vals
+        return cls(path, cent, id_col, vec_col)
+
+    def query(self, spark, queries: DataFrame, k: int = 10,
+              n_probe: int = 8, query_id_col: str = "query_id") -> DataFrame:
+        """Exact cosine over the n_probe nearest cells per query; the
+
+        cell IN (...) filter prunes partitions at the scan."""
+        from pyspark.sql.window import Window
+
+        qrows = queries.collect()
+        qv = np.asarray([r[self.vec_col] for r in qrows], dtype=np.float64)
+        qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+        probe_cells = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :n_probe]
+        pairs = [(int(r[query_id_col]), int(c))
+                 for r, cells in zip(qrows, probe_cells) for c in cells]
+        wanted = sorted({c for _, c in pairs})
+        probes = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
+        corpus = (spark.read.parquet(f"{self.path}/cells")
+                  .where(F.col("cell").isin(wanted)))
+        cand = (corpus.join(F.broadcast(probes), "cell")
+                      .select(query_id_col, self.id_col).distinct())
+        scored = _rerank(cand, corpus.drop("cell"), queries,
+                         self.id_col, self.vec_col, query_id_col)
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
+                                                     F.asc(self.id_col))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                      .where(F.col("rank") <= k)
+                      .select(query_id_col, self.id_col, "cosine", "rank"))
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,

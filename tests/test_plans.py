@@ -57,3 +57,24 @@ def test_relational_query_uses_codegen(spark, parquet_df):
     plan = _plan(q)
     # '*(n)' prefixes mark WholeStageCodegen spans in AQE final plans
     assert "WholeStageCodegen" in plan or "*(1)" in plan or "*(2)" in plan, plan
+
+
+def test_partition_pruning_on_source_partitioned_table(spark, tmp_path_factory):
+    """Hive/Iceberg-style partitioned layout: a source-partitioned write
+    + a source filter must prune partitions at the scan (PartitionFilters
+    in the plan), i.e. a per-source build never touches other sources'
+    files — the in-sandbox evidence for the Iceberg partition-pruning
+    contract (io.read_tokenized prefers the catalog table on a real
+    cluster, where the same plan shows Iceberg partition pruning)."""
+    from qsketch.spark.io import generate_tokenized, read_tokenized
+
+    p = str(tmp_path_factory.mktemp("plans") / "ptab")
+    (generate_tokenized(spark, 1000, seed=1, num_partitions=4)
+     .write.partitionBy("source").mode("overwrite").parquet(p))
+    df = (read_tokenized(spark, p)
+          .where(F.col("source") == "web").select("tokens"))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "web" in plan, plan
+    # and the unfiltered read sees more than one partition directory
+    import glob
+    assert len(glob.glob(f"{p}/source=*")) > 1

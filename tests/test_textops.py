@@ -292,3 +292,35 @@ def test_heavy_hitters_sketch_recall(spark):
     for r in got:
         assert r["est_count"] >= truth[r["t"]]      # CMS never undercounts
         assert r["lower_bound"] <= truth[r["t"]]    # partial sums are a lower bound
+
+
+def test_ivf_index_persisted_matches_adhoc_and_prunes(spark, tmp_path_factory):
+    """The persisted cell-partitioned IVF index returns the same top-k
+    as the ad-hoc IVF path with the same centroids, and its scan prunes
+    to the probed cells (PartitionFilters/dynamic cell filter at the
+    file source)."""
+    from qsketch.spark.similarity import IVFIndex, cosine_topk_ivf
+
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    p = str(tmp_path_factory.mktemp("ivf") / "idx")
+    idx = IVFIndex.build(emb, dim=16, path=p, n_cells=8)
+
+    got = idx.query(spark, qs, k=5, n_probe=4).collect()
+    ref = cosine_topk_ivf(emb, qs, dim=16, k=5, n_cells=8, n_probe=4,
+                          centroids=idx.centroids).collect()
+    key = lambda rows: sorted((r["query_id"], r["vec_id"], r["rank"]) for r in rows)
+    assert key(got) == key(ref)
+
+    loaded = IVFIndex.load(p)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    got2 = loaded.query(spark, qs, k=5, n_probe=4).collect()
+    assert key(got2) == key(got)
+
+    plan = idx.query(spark, qs, k=5, n_probe=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
