@@ -55,10 +55,15 @@ def main(argv=None) -> int:
 
         parts = [args.input, args.group_by or ""] + sorted(args.sketches)
         if os.path.isdir(args.input):
-            for f in sorted(glob.glob(os.path.join(args.input, "*.parquet"))):
+            # recursive: hive-partitioned layouts nest files under
+            # key=value dirs — a top-level-only glob would silently
+            # fingerprint nothing and defeat the stale-resume guard
+            for f in sorted(glob.glob(
+                    os.path.join(args.input, "**", "*.parquet"),
+                    recursive=True)):
                 st = os.stat(f)
-                parts.append(
-                    f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+                rel = os.path.relpath(f, args.input)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
         sig = "|".join(parts)
         args.run_id = "auto-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
 

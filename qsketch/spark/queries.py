@@ -95,29 +95,47 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
 
 def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
                          params: dict | None = None,
-                         candidates_per_partition: int | None = None) -> DataFrame:
+                         candidates_per_partition: int | None = None,
+                         fanin: int = 16) -> DataFrame:
     """Top-k frequency with NO global exact groupBy — the 100-TB path.
 
-    Candidates come from per-partition exact top-M (one narrow
-    mapInArrow pass, vectorized np.unique/bincount per batch; M = 8k by
-    default), so only P x M candidate rows ever shuffle.  The global
-    count for each candidate is the CMS estimate (merged through the
-    two-phase state tree); ``lower_bound`` is the summed per-partition
-    exact count over partitions where the value made top-M (a true
-    lower bound; est_count >= true >= lower_bound).  Any value with
-    global frequency above ~N/M appears in some partition's top-M, so
-    recall at the head of a Zipf distribution is effectively 1 (asserted
-    vs the exact path in tests).
+    ONE input scan: each partition emits its CMS partial state AND its
+    exact top-M candidates (M = 8k by default) from the same mapInArrow
+    pass (vectorized np.unique/bincount per batch).  CMS states merge
+    through the usual state tree; only P x M candidate rows ever
+    shuffle.  The global count per candidate is the CMS estimate;
+    ``lower_bound`` is the summed per-partition exact count over
+    partitions where the value made top-M (a true lower bound;
+    est_count >= true >= lower_bound).  Any value with global frequency
+    above ~N/M appears in some partition's top-M, so recall at the head
+    of a Zipf distribution is effectively 1 (asserted vs the exact path
+    in tests).  The <= k result rows materialize on the driver so the
+    scan's cached partials can be dropped eagerly (no persist leak).
     """
     import pyarrow as pa
+    from pyspark import StorageLevel
+
+    from ..cms import CountMinSketch
+    from ..hash import fnv1a64
+    from .agg import _finalize
 
     m = candidates_per_partition or 8 * k
-    spec = SketchSpec("cms", col, params or {})
-    res = build(df, (spec,))
-    cms_bytes = res.sketches[spec.name].to_bytes()
+    p = params or {}
+    kind = SketchSpec("cms", col, p).name
+    unified = ("partition_id int, kind string, state binary, n_rows long, "
+               "n_tokens long, build_ms double, value long, part_cnt long")
 
-    def topm(batches):
+    def fn(batches):
+        import time as _time
+
+        from pyspark import TaskContext
+
+        t0 = _time.perf_counter()
+        pid = TaskContext.get().partitionId()
+        sk = CountMinSketch(p.get("width", 27183), p.get("depth", 7),
+                            p.get("seed", 0xC0FFEE))
         uniqs, cnts = [], []
+        n_rows = 0
         for batch in batches:
             arr = batch.column(col)
             if arr.null_count:
@@ -125,27 +143,55 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
             v = arr.to_numpy(zero_copy_only=False)
             if v.size == 0:
                 continue
+            n_rows += v.size
             u, c = np.unique(v, return_counts=True)
+            sk.update(fnv1a64(u), counts=c, pre_hashed=True)
             uniqs.append(u)
             cnts.append(c)
-        if not uniqs:
-            return
-        u = np.concatenate(uniqs)
-        c = np.concatenate(cnts)
-        uu, inv = np.unique(u, return_inverse=True)
-        tot = np.zeros(len(uu), dtype=np.int64)
-        np.add.at(tot, inv, c)
-        order = np.lexsort((uu, -tot))[:m]  # ties break toward small value
+        if uniqs:
+            u = np.concatenate(uniqs)
+            c = np.concatenate(cnts)
+            uu, inv = np.unique(u, return_inverse=True)
+            tot = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(tot, inv, c)
+            order = np.lexsort((uu, -tot))[:m]  # ties -> smaller value
+            vals = uu[order].astype(np.int64)
+            pcnt = tot[order]
+        else:
+            vals = np.empty(0, dtype=np.int64)
+            pcnt = np.empty(0, dtype=np.int64)
+        n = 1 + len(vals)
+        ms = (_time.perf_counter() - t0) * 1000.0
         yield pa.RecordBatch.from_arrays(
-            [pa.array(uu[order].astype(np.int64)),
-             pa.array(tot[order])],
-            names=[col, "part_cnt"])
+            [pa.array([pid] * n, type=pa.int32()),
+             pa.array([kind] * n),
+             pa.array([sk.to_bytes()] + [None] * len(vals), type=pa.binary()),
+             pa.array([n_rows] * n, type=pa.int64()),
+             pa.array([n_rows] * n, type=pa.int64()),
+             pa.array([ms] * n, type=pa.float64()),
+             pa.array(np.concatenate(([0], vals))),
+             pa.array(np.concatenate(([0], pcnt)))],
+            names=["partition_id", "kind", "state", "n_rows", "n_tokens",
+                   "build_ms", "value", "part_cnt"])
 
-    cands = df.select(col).mapInArrow(topm, f"{col} long, part_cnt long")
-    agg = cands.groupBy(col).agg(F.sum("part_cnt").alias("lower_bound"))
-    est = with_frequency(agg, col, cms_bytes, "est_count")
-    return (est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
-               .select(col, "est_count", "lower_bound"))
+    n_leaves = df.rdd.getNumPartitions()
+    parts = (df.select(col).mapInArrow(fn, unified)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        states = parts.where(F.col("state").isNotNull()).drop(
+            "value", "part_cnt")
+        cms_bytes = _finalize(states, n_leaves, fanin)[0]["state"]
+        cands = (parts.where(F.col("state").isNull())
+                 .groupBy(F.col("value").alias(col))
+                 .agg(F.sum("part_cnt").alias("lower_bound")))
+        est = with_frequency(cands, col, cms_bytes, "est_count")
+        top = (est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
+                  .select(col, "est_count", "lower_bound").collect())
+    finally:
+        parts.unpersist()
+    return df.sparkSession.createDataFrame(
+        [r.asDict() for r in top],
+        f"{col} long, est_count long, lower_bound long")
 
 
 def quantiles(df: DataFrame, col: str, qs: list[float],

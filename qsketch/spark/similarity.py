@@ -63,8 +63,6 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     big corpus never shuffles — a single narrow pass + a tiny top-k
     window on (query, sim).
     """
-    from pyspark.sql.window import Window
-
     # norms are hoisted into per-side projections BELOW the join, so each
     # is computed once per row, not once per (query, corpus-row) pair
     q = queries.select(F.col(query_id_col),
@@ -76,11 +74,32 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
         query_id_col, id_col,
         (_dot_expr(vec_col, "__qvec")
          / (F.col("__cnorm") * F.col("__qnorm"))).alias("cosine"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col))
+    return _topk(scored, k, query_id_col, id_col)
+
+
+def _topk(scored: DataFrame, k: int, query_id_col: str,
+          id_col: str) -> DataFrame:
+    """row_number window top-k per query, deterministic tie-break on id."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
+                                                 F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def _probe_cells(qrows, centroids: np.ndarray, vec_col: str,
+                 query_id_col: str, n_probe: int) -> list[tuple[int, int]]:
+    """(query_id, cell) pairs for each query's n_probe nearest centroids;
+    empty queries -> empty list (no numpy axis errors)."""
+    if not qrows:
+        return []
+    qv = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    return [(int(r[query_id_col]), int(c))
+            for r, cc in zip(qrows, cells) for c in cc]
 
 
 def _rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
@@ -214,27 +233,18 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
     candidates.  At 100 TB the assignment is a narrow pass, the bucketed
     corpus is written partitioned by cell, and a query touches
     n_probe/n_cells of the data."""
-    from pyspark.sql.window import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(corpus, dim, n_cells,
                                         id_col=id_col, vec_col=vec_col)
     ck = ivf_assign(corpus, centroids, id_col, vec_col)
-    qrows = queries.collect()
-    qv = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
-    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
-    pairs = [(int(r[query_id_col]), int(c))
-             for r, cells in zip(qrows, probe_cells) for c in cells]
+    pairs = _probe_cells(queries.collect(), centroids, vec_col,
+                         query_id_col, n_probe)
     spark = corpus.sparkSession
     probes = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
     cand = (ck.join(F.broadcast(probes), "cell")
               .select(query_id_col, id_col).distinct())
     scored = _rerank(cand, corpus, queries, id_col, vec_col, query_id_col)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select(query_id_col, id_col, "cosine", "rank"))
+    return _topk(scored, k, query_id_col, id_col)
 
 
 class IVFIndex:
@@ -297,27 +307,17 @@ class IVFIndex:
         """Exact cosine over the n_probe nearest cells per query; the
 
         cell IN (...) filter prunes partitions at the scan."""
-        from pyspark.sql.window import Window
-
-        qrows = queries.collect()
-        qv = np.asarray([r[self.vec_col] for r in qrows], dtype=np.float64)
-        qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-        probe_cells = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :n_probe]
-        pairs = [(int(r[query_id_col]), int(c))
-                 for r, cells in zip(qrows, probe_cells) for c in cells]
+        pairs = _probe_cells(queries.collect(), self.centroids,
+                             self.vec_col, query_id_col, n_probe)
         wanted = sorted({c for _, c in pairs})
         probes = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
         corpus = (spark.read.parquet(f"{self.path}/cells")
-                  .where(F.col("cell").isin(wanted)))
+                  .where(F.col("cell").isin(wanted or [-1])))
         cand = (corpus.join(F.broadcast(probes), "cell")
                       .select(query_id_col, self.id_col).distinct())
         scored = _rerank(cand, corpus.drop("cell"), queries,
                          self.id_col, self.vec_col, query_id_col)
-        w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
-                                                     F.asc(self.id_col))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                      .where(F.col("rank") <= k)
-                      .select(query_id_col, self.id_col, "cosine", "rank"))
+        return _topk(scored, k, query_id_col, self.id_col)
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
@@ -329,8 +329,6 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
     sharing any bucket with a query), exact cosine re-ranks candidates
     only.  Recall rises with n_tables; cost scales with bucket
     collision counts, not |corpus| x |queries|."""
-    from pyspark.sql.window import Window
-
     ck = srp_bucket_keys(corpus, dim, n_bits, id_col, vec_col,
                          n_tables=n_tables)
     qk = srp_bucket_keys(
@@ -340,8 +338,4 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
                     .hint("broadcast"), ["table", "bucket"])
               .select(query_id_col, id_col).distinct())
     scored = _rerank(cand, corpus, queries, id_col, vec_col, query_id_col)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
-                                                 F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select(query_id_col, id_col, "cosine", "rank"))
+    return _topk(scored, k, query_id_col, id_col)

@@ -62,6 +62,23 @@ def _list_lens(col: pa.Array) -> np.ndarray:
 _FNV_OFFSET = U64(0xCBF29CE484222325)
 
 
+def _cap_buckets(df: DataFrame, keys: tuple[str, ...],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop rows in over-sized buckets before a bucket self-join.
+
+    Window count over the SAME hash-partitioning the self-join needs:
+    one shuffle total, and the two join sides stay identical subplans so
+    the exchange is reused, not recomputed.  No-op when max_bucket is
+    None."""
+    if max_bucket is None:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (df.withColumn("__n", F.count("*").over(w))
+              .where(F.col("__n") <= max_bucket).drop("__n"))
+
+
 def _rolling_shingle_hash(wh: np.ndarray, n: int) -> np.ndarray:
     """Combine n consecutive word hashes into one shingle hash, for every
 
@@ -214,15 +231,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                 names=[id_col, "band", "band_key"])
 
     banded = sig_df.mapInArrow(band_fn, f"{id_col} long, band int, band_key long")
-    if max_bucket is not None:
-        # window count over the SAME hash-partitioning the self-join
-        # needs: one shuffle total, and the two join sides are identical
-        # subplans so the exchange is reused, not recomputed
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "band_key")
-        banded = (banded.withColumn("__n", F.count("*").over(w))
-                        .where(F.col("__n") <= max_bucket).drop("__n"))
+    banded = _cap_buckets(banded, ("band", "band_key"), max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, ["band", "band_key"])
@@ -310,18 +319,26 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 3,
                     threshold: float = 0.8, num_perm: int = 128,
                     bands: int = 32, rows: int = 4,
-                    max_bucket: int | None = 500) -> DataFrame:
+                    max_bucket: int | None = None) -> DataFrame:
     """MinHash LSH -> exact-Jaccard verify.  With the default banding the
 
     miss probability at sim>=0.8 is <1e-7, so the output matches the
     exact O(n^2) Jaccard join while scaling as O(candidates).
-    ``max_bucket`` caps LSH bucket size (see lsh_candidate_pairs)."""
+
+    ``max_bucket`` defaults to None here (unlike lsh_candidate_pairs)
+    because a cap can silently drop true pairs when a large cluster of
+    SIMILAR-but-not-identical docs floods every band (exact dedup does
+    not remove those) — that would break this function's exact-match
+    contract.  At web scale, SET max_bucket (e.g. 500) and accept
+    capped-recall semantics, or the degenerate cluster goes quadratic."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
     # the verify consumes candidates twice (id pruning + pair join);
-    # persist the small pair set so LSH generation runs once
+    # persist the small pair set so LSH generation runs once.  Spark's
+    # ContextCleaner unpersists it once the plan is garbage-collected,
+    # so repeated calls don't accumulate cache.
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
@@ -394,12 +411,7 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
                    .select(id_col, "simhash",
                            F.col("s.slice").alias("slice"),
                            F.col("s.slice_val").alias("slice_val")))
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("slice", "slice_val")
-        sliced = (sliced.withColumn("__n", F.count("*").over(w))
-                        .where(F.col("__n") <= max_bucket).drop("__n"))
+    sliced = _cap_buckets(sliced, ("slice", "slice_val"), max_bucket)
     left = sliced.alias("l")
     right = sliced.alias("r")
     pairs = (left.join(right, ["slice", "slice_val"])
@@ -422,9 +434,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
 
     simhash column exists for.  (a, b, hamming) for all pairs within
-    max_hamming; full recall for d <= n_slices - 1 by pigeonhole."""
+    max_hamming; full recall for d <= n_slices - 1 by pigeonhole
+    (buckets over max_bucket dropped — pass None to disable)."""
     sh = simhash(df, text_col, id_col)
-    return simhash_pairs(sh, id_col, max_hamming)
+    return simhash_pairs(sh, id_col, max_hamming, max_bucket=max_bucket)
 
 
 # ---------------- text analysis --------------------------------------------
