@@ -340,6 +340,13 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_language_id(spark, sf_dir):
+    """Heuristic language ID (stopword-profile hit ratios, JVM-side)."""
+    from qsketch.spark.textops import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark, sf_dir):
     from qsketch.spark.similarity import cosine_topk_bruteforce
 
@@ -398,11 +405,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": q_near_duplicates,
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
+        "language_id": q_language_id,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
     }
+
+
+def _lang_profiles() -> dict[str, str]:
+    """Single source of truth for the oracle: the engine's profiles."""
+    from qsketch.spark.textops import _LANG_PROFILES
+
+    return _LANG_PROFILES
 
 
 _TOKS_CTE = ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
@@ -486,6 +501,22 @@ def oracle_sql() -> dict[str, str]:
             " squeezed / greatest(n_tokens, 1) AS mean_word_len,"
             " n_stop / greatest(n_tokens, 1) AS stopword_ratio,"
             " n_alpha / greatest(len_text, 1) AS alpha_ratio FROM toks"),
+        "language_id": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),"
+            " ' '), w -> w <> '') AS ws FROM documents),"
+            " s AS (SELECT doc_id," + ", ".join(
+                "len(list_filter(ws, w -> list_contains(["
+                + ", ".join(f"'{w}'" for w in words.split())
+                + f"], w))) / greatest(len(ws), 1) AS {lang}"
+                for lang, words in sorted(_lang_profiles().items()))
+            + " FROM t),"
+            " u AS (SELECT doc_id, lang, score FROM s"
+            "   UNPIVOT (score FOR lang IN (en, de, fr, es, it))),"
+            " r AS (SELECT doc_id, lang, score, row_number() OVER"
+            "   (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn"
+            "   FROM u)"
+            " SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END"
+            " AS lang, ROUND(score, 6) AS lang_confidence FROM r WHERE rn = 1"),
         "token_piece_counts": (
             "SELECT doc_id,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,"

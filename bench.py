@@ -127,7 +127,7 @@ def main() -> None:
                  "kll_nchars_quantiles", "near_duplicates",
                  "simhash_near_duplicates", "cosine_topk"):
         fn = entrymod.queries()[name]
-        t, _ = _timed(lambda f=fn: f(spark, SF_DIR).collect())
+        t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t
     spin[8] = _spin_control(spark, 8)
     spark.stop()

@@ -446,6 +446,41 @@ _STOPWORDS = ("the a an and or of to in is are was were be been on at for "
               "with as by it this that").split()
 
 
+_LANG_PROFILES = {
+    # tiny top-stopword profiles (public-knowledge function words);
+    # the score is the matched-stopword fraction per language
+    "en": "the of and to in is was for with that it on as are be this",
+    "de": "der die und das ist von mit nicht den ein eine zu auf im",
+    "fr": "le la les de des et un une est dans pour que qui sur pas",
+    "es": "el la los las de y un una es en que por para con no se",
+    "it": "il la le di e un una che per non sono con del in si",
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit ratio over word
+
+    unigrams, winner-take-all with a confidence score — entirely
+    JVM-side (arrays_overlap-style set intersection in Catalyst, no
+    Python).  'und' ties break lexicographically; docs with zero hits in
+    every profile get lang='und', confidence 0.0."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in words.split()])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct((hits / n_tok).alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        id_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang"),
+        F.round(best["score"], 6).alias("lang_confidence"))
+
+
 def text_quality(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality features, all JVM-side (whole-stage codegen):

@@ -324,3 +324,22 @@ def test_ivf_index_persisted_matches_adhoc_and_prunes(spark, tmp_path_factory):
     plan = idx.query(spark, qs, k=5, n_probe=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+def test_language_id(spark):
+    from qsketch.spark.textops import language_id
+
+    df = spark.createDataFrame([
+        (1, "the cat is on the mat and it was for this"),
+        (2, "der hund ist nicht mit der katze auf dem im haus"),
+        (3, "le chat est dans la maison pour les amis qui sont"),
+        (4, "xyzzy qwerty zzz"),
+        (5, ""),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["lang"], r["lang_confidence"])
+           for r in language_id(df).collect()}
+    assert got[1][0] == "en" and got[1][1] > 0.3
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4] == ("und", 0.0)
+    assert got[5] == ("und", 0.0)
