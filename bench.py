@@ -92,7 +92,7 @@ def main() -> None:
     spark = make_session(8)
     from qsketch.spark.agg import (DEFAULT_SPECS, SketchSpec, build,
                                    build_files, build_grouped_files)
-    from qsketch.spark.io import generate_tokenized, write_tokenized
+    from qsketch.spark.io import write_tokenized
 
     if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
         write_tokenized(spark, CACHE, N_DOCS, seed=42, num_partitions=64)
@@ -132,33 +132,60 @@ def main() -> None:
     spin[8] = _spin_control(spark, 8)
     spark.stop()
 
-    # ---- scaling runs on the same input (median of N_RUNS warm runs
-    # each; one warmup run first so allocator arenas are faulted in)
-    for cpus in (2, CPUS):
-        if cpus == 8:
-            continue
-        s = make_session(cpus)
-        _timed(lambda: build_files(s, CACHE, (SketchSpec("hll", "tokens"),)))
-        t, spr, r = _median_timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
-        queries[f"build_all_sketches_local{cpus}"] = t
-        tput[cpus] = r.n_tokens / t
-        spreads[str(cpus)] = [round(x, 3) for x in spr]
-        if cpus == CPUS:
-            spin[cpus] = _spin_control(s, cpus)
-        s.stop()
+    # ---- scaling: INTERLEAVED rounds.  The host's memory bandwidth
+    # drifts on a minutes scale, so measuring each level N times in a
+    # row and ratioing medians mixes different host phases into the
+    # efficiency (observed 0.58 vs 0.85 across otherwise-clean runs).
+    # Instead each round measures every level back-to-back (fresh
+    # session, one warmup build, one measured build) and the efficiency
+    # is computed WITHIN the round, then medianed across rounds.
+    levels = (2, 8, CPUS) if CPUS != 8 else (2, 8)
+    times: dict[int, list[float]] = {c: [] for c in levels}
+    n_tok_by: dict[int, int] = {}
+    for _ in range(N_RUNS):
+        for cpus in levels:
+            s = make_session(cpus)
+            _timed(lambda: build_files(s, CACHE,
+                                       (SketchSpec("hll", "tokens"),)))
+            t, r = _timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
+            times[cpus].append(t)
+            n_tok_by[cpus] = r.n_tokens
+            if cpus == CPUS and CPUS not in spin:
+                spin[CPUS] = _spin_control(s, cpus)
+            s.stop()
 
+    def _med(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    for cpus in levels:
+        spreads[str(cpus)] = [round(x, 3) for x in sorted(times[cpus])]
+        tput[cpus] = n_tok_by[cpus] / _med(times[cpus])
+        queries[f"build_all_sketches_local{cpus}"] = _med(times[cpus])
+    # headline 8-core throughput: median over ALL 8-core runs this
+    # bench made (main-session warms + interleaved rounds)
+    tput[8] = n_tokens / _med(spread8 + times[8])
+    extras["tokens_per_sec"] = tput[8]
+
+    eff_2_8 = sorted(t2 / t8 / 4.0 for t2, t8 in zip(times[2], times[8]))
+    eff_8_32 = (sorted(t8 / t32 / (CPUS / 8.0)
+                       for t8, t32 in zip(times[8], times[CPUS]))
+                if CPUS != 8 else [])
     extras["scaling"] = {
         "tokens_per_sec": {str(k): v for k, v in sorted(tput.items())},
         "build_sec_spread_min_med_max": spreads,
         "runs_per_level": N_RUNS,
-        "efficiency_2_to_8": tput[8] / tput[2] / 4.0,
-        f"efficiency_8_to_{CPUS}": (tput[CPUS] / tput[8] / (CPUS / 8))
-        if CPUS in tput else None,
+        "efficiency_2_to_8": _med(eff_2_8),
+        "efficiency_2_to_8_per_round": [round(e, 3) for e in eff_2_8],
+        f"efficiency_8_to_{CPUS}": _med(eff_8_32) if eff_8_32 else None,
+        f"efficiency_8_to_{CPUS}_per_round":
+            [round(e, 3) for e in eff_8_32],
         "cpu_control_spin_eff_8_to_32":
             (spin.get(32, 0) / spin[8] / 4.0) if spin.get(32) else None,
-        "note": ("medians of warm runs; build efficiency tracks this "
-                 "microVM's raw memory bandwidth scaling 1:1 (see "
-                 "BASELINE.md); CPU-only control shows framework scaling"),
+        "note": ("per-round interleaved efficiencies (ratio taken within "
+                 "one host phase), medianed; build efficiency tracks this "
+                 "microVM's raw memory bandwidth (see BASELINE.md); "
+                 "CPU-only control shows framework scaling"),
     }
 
     print(json.dumps({
