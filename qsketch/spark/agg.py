@@ -346,7 +346,7 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         for pathbatch in batches:
             for f in pathbatch.column("path").to_pylist():
                 pf = pqr.ParquetFile(f)
-                for batch in pf.iter_batches(batch_size=65536, columns=cols):
+                for batch in pf.iter_batches(batch_size=16384, columns=cols):
                     pacc.consume(batch)
         out = pacc.to_record_batch(pid)
         if ckpt_dir is not None:
@@ -571,7 +571,7 @@ def build_grouped_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         for pathbatch in batches:
             for f in pathbatch.column("path").to_pylist():
                 pf = pqr.ParquetFile(f)
-                for batch in pf.iter_batches(batch_size=65536, columns=cols):
+                for batch in pf.iter_batches(batch_size=16384, columns=cols):
                     gacc.consume(batch)
         out = gacc.to_record_batch(pid)
         if out is not None:
