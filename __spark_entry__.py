@@ -322,6 +322,25 @@ def q_near_duplicates(spark, sf_dir):
     return near_duplicates(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_near_duplicate_groups(spark, sf_dir):
+    """Connected-components dedup grouping over the near-duplicate pair
+    graph (min-label propagation; group_id = min doc_id in component)."""
+    from qsketch.spark.textops import near_duplicate_groups
+
+    return near_duplicate_groups(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_embedding_near_duplicates(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs path (the
+    oracle-checkable form; the LSH-candidate scale path is covered by a
+    recall pytest)."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(emb, threshold=0.45, method="exact")
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_text_quality(spark, sf_dir):
     from qsketch.spark.textops import text_quality
 
@@ -403,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_fpr": q_qf_fpr,
         "exact_dedup_groups": q_exact_dedup_groups,
         "near_duplicates": q_near_duplicates,
+        "near_duplicate_groups": q_near_duplicate_groups,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
         "language_id": q_language_id,
@@ -422,6 +443,24 @@ def _lang_profiles() -> dict[str, str]:
 
 _TOKS_CTE = ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
              "FROM documents), tok AS (SELECT token FROM toks WHERE token <> '')")
+
+_NEAR_DUP_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " w1 AS (SELECT doc_id, unnest(w) AS word,"
+    "   generate_subscripts(w, 1) AS pos FROM t),"
+    " sh0 AS (SELECT doc_id,"
+    "   word || ' ' || lead(word, 1) OVER win || ' ' ||"
+    "   lead(word, 2) OVER win AS s,"
+    "   lead(word, 2) OVER win AS tail FROM w1"
+    "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),"
+    " sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE tail IS NOT NULL),"
+    " sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni"
+    "   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id"
+    "   GROUP BY x.doc_id, y.doc_id)"
+    " SELECT a, b, ni / (sa.n + sb.n - ni) AS jaccard"
+    " FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b"
+    " WHERE ni / (sa.n + sb.n - ni) >= 0.8")
 
 _STOPWORDS_SQL = "[" + ", ".join(
     f"'{w}'" for w in ("the a an and or of to in is are was were be been on "
@@ -472,23 +511,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count"
             " FROM documents GROUP BY text"),
-        "near_duplicates": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
-            " w1 AS (SELECT doc_id, unnest(w) AS word,"
-            "   generate_subscripts(w, 1) AS pos FROM t),"
-            " sh0 AS (SELECT doc_id,"
-            "   word || ' ' || lead(word, 1) OVER win || ' ' ||"
-            "   lead(word, 2) OVER win AS s,"
-            "   lead(word, 2) OVER win AS tail FROM w1"
-            "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),"
-            " sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE tail IS NOT NULL),"
-            " sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
-            " inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni"
-            "   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id"
-            "   GROUP BY x.doc_id, y.doc_id)"
-            " SELECT a, b, ni / (sa.n + sb.n - ni) AS jaccard"
-            " FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b"
-            " WHERE ni / (sa.n + sb.n - ni) >= 0.8"),
+        "near_duplicates": _NEAR_DUP_SQL,
+        "near_duplicate_groups": (
+            # connected components over the exact near-dup pair graph:
+            # transitive reachability closure (tiny clusters), then
+            # group_id = min reachable id (incl. self)
+            "WITH RECURSIVE pairs AS (SELECT a, b FROM"
+            f" ({_NEAR_DUP_SQL}) q),"
+            " e AS (SELECT a, b FROM pairs"
+            "   UNION ALL SELECT b AS a, a AS b FROM pairs),"
+            " reach AS (SELECT a AS id, b AS r FROM e"
+            "   UNION SELECT reach.id, e.b AS r FROM reach, e"
+            "   WHERE reach.r = e.a),"
+            " comp AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id)"
+            " SELECT d.doc_id, CAST(COALESCE(LEAST(c.id, c.m), d.doc_id)"
+            " AS BIGINT) AS group_id"
+            " FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"),
+        "embedding_near_duplicates": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "   FROM embeddings)"
+            " SELECT x.vec_id AS a, y.vec_id AS b,"
+            " ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine"
+            " FROM e x JOIN e y ON x.vec_id < y.vec_id"
+            " WHERE list_cosine_similarity(x.v, y.v) >= 0.45"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"

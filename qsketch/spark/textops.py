@@ -342,6 +342,66 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, comp) for every node in the (a, b) pair graph; comp = the
+
+    minimum id in the node's connected component.  Distributed
+    min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — converges in O(graph
+    diameter) rounds (near-dup clusters are near-cliques, so 1-3).
+    Only (id, label) pairs shuffle; each round is one join + one
+    groupBy over the edge set."""
+    from pyspark import StorageLevel
+
+    sym = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .union(pairs.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst")))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.select(F.col("id").alias("dst"),
+                                          F.col("comp").alias("__nc")),
+                            "dst")
+                   .groupBy(F.col("src").alias("id"))
+                   .agg(F.min("__nc").alias("__nbr")))
+        new = (labels.join(nbr_min, "id", "left")
+               .select("id", F.least(
+                   F.col("comp"),
+                   F.coalesce(F.col("__nbr"), F.col("comp"))).alias("comp"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_duplicate_groups(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", shingle_n: int = 3,
+                          threshold: float = 0.8,
+                          max_bucket: int | None = None,
+                          max_iter: int = 25) -> DataFrame:
+    """Dedup grouping: every doc mapped to its near-duplicate group
+
+    representative (the min id of its connected component in the
+    near-duplicate pair graph); docs with no near-dup map to
+    themselves.  Downstream keep-one dedup is then
+    ``.where(doc_id == group_id)``."""
+    pairs = near_duplicates(df, text_col, id_col, shingle_n, threshold,
+                            max_bucket=max_bucket).select("a", "b")
+    comp = connected_components(pairs, max_iter)
+    return (df.select(id_col)
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("comp", F.col(id_col)).alias("group_id")))
+
+
 # ---------------- SimHash ---------------------------------------------------
 
 

@@ -343,3 +343,50 @@ def test_language_id(spark):
     assert got[3][0] == "fr"
     assert got[4] == ("und", 0.0)
     assert got[5] == ("und", 0.0)
+
+
+def test_connected_components_chain_and_groups(spark):
+    """Min-label propagation finds transitive components (chain deeper
+    than one hop) and near_duplicate_groups maps singletons to self."""
+    from qsketch.spark.textops import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long")
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_near_duplicate_groups(docs):
+    from qsketch.spark.textops import near_duplicate_groups
+
+    got = {r["doc_id"]: r["group_id"]
+           for r in near_duplicate_groups(docs).collect()}
+    assert got[100] == 0 and got[0] == 0      # exact dup cluster
+    assert got[101] == 1 and got[1] == 1
+    assert got[102] == 2 and got[2] == 2      # near-dup cluster
+    assert got[5] == 5                        # singleton maps to itself
+    assert len(got) == docs.count()
+
+
+def test_embedding_near_duplicates_lsh_matches_exact(spark):
+    """The SRP-LSH candidate path must recover the exact cosine pair set
+    at a high threshold (defaults give recall > 0.999)."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 24))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # planted near-dups: slightly perturbed copies
+    for j in range(5):
+        v = base[j] + rng.normal(scale=0.05, size=24)
+        rows.append((100 + j, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["a"], r["b"]) for r in embedding_near_duplicates(
+        emb, threshold=0.9, method="exact").collect()}
+    lsh = {(r["a"], r["b"]) for r in embedding_near_duplicates(
+        emb, threshold=0.9, method="lsh").collect()}
+    assert len(exact) >= 5
+    assert lsh == exact
