@@ -359,6 +359,17 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling shingle hash, per-window
+    minima) — rows-only; the substring-sharing guarantee is pytested."""
+    from qsketch.spark.textops import winnow_fingerprints
+
+    return (winnow_fingerprints(_docs(spark, sf_dir))
+            .select("doc_id", "n_fp",
+                    F.expr("aggregate(fingerprints, 0L, (a, x) -> a ^ x)")
+                     .alias("fp_xor")))
+
+
 def q_language_id(spark, sf_dir):
     """Heuristic language ID (stopword-profile hit ratios, JVM-side)."""
     from qsketch.spark.textops import language_id
@@ -427,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
         "language_id": q_language_id,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,

@@ -342,6 +342,63 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03):
+
+    per doc, the distinct set of per-window minima over the rolling
+    shingle-hash sequence — any shared substring of length >=
+    shingle_n + window - 1 words guarantees a shared fingerprint, at
+    ~1/window the storage of the full shingle set.  Vectorized: one
+    packed-buffer FNV pass, one rolling combine, then a window-min via
+    stride tricks over the flat hash array (doc boundaries respected by
+    the same validity masking as minhash_signatures)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col)
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            wh = _hash_str_arrow(toks.flatten())
+            total = len(wh)
+            n_sh_flat = max(total - shingle_n + 1, 0)
+            # windows of `window` consecutive shingles, fully inside a doc
+            span = shingle_n + window - 1  # words covered by one window
+            counts = np.maximum(lens - span + 1, 0)
+            vals = np.empty(0, dtype=np.int64)
+            out_counts = np.zeros(n_docs, dtype=np.int64)
+            if n_sh_flat >= window and counts.sum() > 0:
+                sh = _rolling_shingle_hash(wh, shingle_n)
+                wmin = sliding_window_view(sh, window).min(axis=1)
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+                n_w = len(wmin)
+                valid = doc_of[:n_w] == doc_of[span - 1:span - 1 + n_w]
+                fp, fpd = wmin[valid], doc_of[:n_w][valid]
+                order = np.lexsort((fp, fpd))
+                fp, fpd = fp[order], fpd[order]
+                if len(fp):
+                    keep = np.ones(len(fp), dtype=bool)
+                    keep[1:] = (fp[1:] != fp[:-1]) | (fpd[1:] != fpd[:-1])
+                    fp, fpd = fp[keep], fpd[keep]
+                out_counts = np.bincount(fpd, minlength=n_docs)
+                vals = fp.view(np.int64)
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(out_counts))).astype(np.int32))
+            arr = pa.ListArray.from_arrays(offsets, pa.array(vals))
+            yield pa.RecordBatch.from_arrays(
+                [ids, arr, pa.array(out_counts.astype(np.int32))],
+                names=[id_col, "fingerprints", "n_fp"])
+
+    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
+        fn, f"{id_col} long, fingerprints array<long>, n_fp int")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(id, comp) for every node in the (a, b) pair graph; comp = the
 

@@ -390,3 +390,27 @@ def test_embedding_near_duplicates_lsh_matches_exact(spark):
         emb, threshold=0.9, method="lsh").collect()}
     assert len(exact) >= 5
     assert lsh == exact
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a >= (shingle_n + window - 1)-word
+    substring share at least one fingerprint; identical docs share all."""
+    from qsketch.spark.textops import winnow_fingerprints
+
+    rng = np.random.default_rng(17)
+    words = lambda n, off=0: [f"w{off + i}" for i in rng.choice(400, n)]
+    a = words(60)
+    shared = [f"s{i}" for i in range(12)]           # 12-word common run
+    b = words(25, 1000) + shared + words(25, 2000)
+    a = a[:30] + shared + a[30:]
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(a)),
+         (4, " ".join(words(40, 5000)))],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: set(r["fingerprints"])
+          for r in winnow_fingerprints(df).collect()}
+    assert fp[1] == fp[3]                            # identical docs
+    assert fp[1] & fp[2]                             # shared substring
+    assert not (fp[4] & fp[1])                       # disjoint vocab
+    # storage is a fraction of the shingle count
+    assert len(fp[1]) < len(a) - 2
