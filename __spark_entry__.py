@@ -568,7 +568,8 @@ def oracle_sql() -> dict[str, str]:
                 for lang, words in sorted(_lang_profiles().items()))
             + " FROM t),"
             " u AS (SELECT doc_id, lang, score FROM s"
-            "   UNPIVOT (score FOR lang IN (en, de, fr, es, it))),"
+            "   UNPIVOT (score FOR lang IN ("
+            + ", ".join(sorted(_lang_profiles())) + "))),"
             " r AS (SELECT doc_id, lang, score, row_number() OVER"
             "   (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn"
             "   FROM u)"

@@ -163,8 +163,11 @@ def main() -> None:
         tput[cpus] = n_tok_by[cpus] / _med(times[cpus])
         queries[f"build_all_sketches_local{cpus}"] = _med(times[cpus])
     # headline 8-core throughput: median over ALL 8-core runs this
-    # bench made (main-session warms + interleaved rounds)
-    tput[8] = n_tokens / _med(spread8 + times[8])
+    # bench made (main-session warms + interleaved rounds); the
+    # reported spread covers that same sample set
+    all8 = sorted(spread8 + times[8])
+    spreads["8"] = [round(x, 3) for x in all8]
+    tput[8] = n_tokens / _med(all8)
     extras["tokens_per_sec"] = tput[8]
 
     eff_2_8 = sorted(t2 / t8 / 4.0 for t2, t8 in zip(times[2], times[8]))

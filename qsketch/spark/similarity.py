@@ -24,9 +24,16 @@ from ..hash import splitmix64
 
 
 def _norm_expr(col: str):
-    return F.sqrt(F.aggregate(
-        F.col(col), F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    """L2 norm, floored at a denormal so a zero vector yields cosine 0.0
+
+    instead of 0/0=NaN — Spark orders NaN above every number, so an
+    unguarded NaN would pass any >= threshold filter and rank first in
+    top-k.  For any nonzero norm greatest() is exact (no value change)."""
+    return F.greatest(
+        F.sqrt(F.aggregate(
+            F.col(col), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+        F.lit(1e-300))
 
 
 def _batch_matrix(col: pa.Array, dtype=np.float64) -> np.ndarray:
@@ -263,16 +270,16 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     path; recall grows with n_tables (P[miss] = (1-(1-theta/pi)^bits)^
     tables for angle theta; defaults give >0.999 at cosine 0.95)."""
     c = corpus.select(id_col, vec_col, _norm_expr(vec_col).alias("__n"))
+    a = c.select(F.col(id_col).alias("a"),
+                 F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    b = c.select(F.col(id_col).alias("b"),
+                 F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     if method == "exact":
-        a = c.select(F.col(id_col).alias("a"),
-                     F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
-        b = c.select(F.col(id_col).alias("b"),
-                     F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
         pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
     elif method == "lsh":
         if dim is None:
             first = corpus.select(vec_col).first()
-            dim = len(first[0])
+            dim = len(first[0]) if first is not None else 1  # empty corpus
         keys = srp_bucket_keys(corpus, dim, n_bits, id_col, vec_col,
                                n_tables=n_tables)
         kl, kr = keys.alias("kl"), keys.alias("kr")
@@ -281,10 +288,6 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                   .select(F.col(f"kl.{id_col}").alias("a"),
                           F.col(f"kr.{id_col}").alias("b"))
                   .distinct())
-        a = c.select(F.col(id_col).alias("a"),
-                     F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
-        b = c.select(F.col(id_col).alias("b"),
-                     F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
         pairs = cand.join(a, "a").join(b, "b")
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -78,6 +78,22 @@ def _cap_buckets(df: DataFrame, keys: tuple[str, ...],
               .where(F.col("__n") <= max_bucket).drop("__n"))
 
 
+def _pack_per_doc_distinct(vals: np.ndarray, doc_of: np.ndarray,
+                           n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct int64 values packed doc-contiguously, per-doc
+
+    counts) — the shared per-doc set-packing step of shingle_hash_sets
+    and winnow_fingerprints."""
+    order = np.lexsort((vals, doc_of))
+    v, d = vals[order], doc_of[order]
+    if len(v):
+        keep = np.ones(len(v), dtype=bool)
+        keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+        v, d = v[keep], d[keep]
+    counts = np.bincount(d, minlength=n_docs)
+    return v.view(np.int64), counts
+
+
 def _rolling_shingle_hash(wh: np.ndarray, n: int) -> np.ndarray:
     """Combine n consecutive word hashes into one shingle hash, for every
 
@@ -264,15 +280,8 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
                 key = _rolling_shingle_hash(wh, shingle_n)
                 doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
                 valid = doc_of[:n_flat] == doc_of[shingle_n - 1:]
-                sh, shd = key[valid], doc_of[:n_flat][valid]
-                order = np.lexsort((sh, shd))
-                sh, shd = sh[order], shd[order]
-                if len(sh):
-                    keep = np.ones(len(sh), dtype=bool)
-                    keep[1:] = (sh[1:] != sh[:-1]) | (shd[1:] != shd[:-1])
-                    sh, shd = sh[keep], shd[keep]
-                counts = np.bincount(shd, minlength=n_docs)
-                vals = sh.view(np.int64)
+                vals, counts = _pack_per_doc_distinct(
+                    key[valid], doc_of[:n_flat][valid], n_docs)
             offsets = pa.array(
                 np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
             arr = pa.ListArray.from_arrays(offsets, pa.array(vals))
@@ -378,15 +387,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                 doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
                 n_w = len(wmin)
                 valid = doc_of[:n_w] == doc_of[span - 1:span - 1 + n_w]
-                fp, fpd = wmin[valid], doc_of[:n_w][valid]
-                order = np.lexsort((fp, fpd))
-                fp, fpd = fp[order], fpd[order]
-                if len(fp):
-                    keep = np.ones(len(fp), dtype=bool)
-                    keep[1:] = (fp[1:] != fp[:-1]) | (fpd[1:] != fpd[:-1])
-                    fp, fpd = fp[keep], fpd[keep]
-                out_counts = np.bincount(fpd, minlength=n_docs)
-                vals = fp.view(np.int64)
+                vals, out_counts = _pack_per_doc_distinct(
+                    wmin[valid], doc_of[:n_w][valid], n_docs)
             offsets = pa.array(
                 np.concatenate(([0], np.cumsum(out_counts))).astype(np.int32))
             arr = pa.ListArray.from_arrays(offsets, pa.array(vals))
@@ -410,14 +412,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     groupBy over the edge set."""
     from pyspark import StorageLevel
 
-    sym = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-           .union(pairs.select(F.col("b").alias("src"),
-                               F.col("a").alias("dst")))
+    # both edge directions in ONE pass over pairs (a union would
+    # materialize the upstream pair plan twice before the persist)
+    sym = (pairs.select(F.explode(F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+            .alias("e"))
+           .select("e.src", "e.dst")
            .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.select(F.col("id").alias("dst"),
                                           F.col("comp").alias("__nc")),
@@ -436,6 +443,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            f"longer diameter than expected; raise max_iter")
     return labels
 
 
@@ -581,7 +594,8 @@ def language_id(df: DataFrame, text_col: str = "text",
     JVM-side (arrays_overlap-style set intersection in Catalyst, no
     Python).  'und' ties break lexicographically; docs with zero hits in
     every profile get lang='und', confidence 0.0."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            " "),
                     lambda t: t != "")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     scores = []
