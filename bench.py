@@ -145,8 +145,10 @@ def main() -> None:
     for _ in range(N_RUNS):
         for cpus in levels:
             s = make_session(cpus)
-            _timed(lambda: build_files(s, CACHE,
-                                       (SketchSpec("hll", "tokens"),)))
+            # warm up with the FULL spec set: an hll-only warmup leaves
+            # the other five sketches' allocator arenas unfaulted and
+            # the measured run lands half-cold (observed +30-80%)
+            _timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
             t, r = _timed(lambda: build_files(s, CACHE, DEFAULT_SPECS))
             times[cpus].append(t)
             n_tok_by[cpus] = r.n_tokens
