@@ -77,7 +77,8 @@ def main(argv=None) -> int:
     specs = tuple(parse_spec(s) for s in args.sketches)
     t0 = time.perf_counter()
     if args.group_by:
-        final = build_grouped(df, specs, args.group_by, args.fanin)
+        final = build_grouped(df, specs, args.group_by, args.fanin,
+                              args.ckpt, args.run_id)
         final.write.mode("overwrite").parquet(args.output)
         n_rows = final.count()
         metrics = {"groups": n_rows}

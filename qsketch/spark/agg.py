@@ -65,6 +65,13 @@ _STATE_PA_SCHEMA = pa.schema([
     ("n_rows", pa.int64()), ("n_tokens", pa.int64()), ("build_ms", pa.float64()),
 ])
 
+_GROUP_STATE_PA_SCHEMA = pa.schema([
+    ("group", pa.string()), ("partition_id", pa.int32()),
+    ("kind", pa.string()), ("state", pa.binary()),
+    ("n_rows", pa.int64()), ("n_tokens", pa.int64()),
+    ("build_ms", pa.float64()),
+])
+
 
 @dataclass(frozen=True)
 class SketchSpec:
@@ -522,28 +529,54 @@ class _GroupedAcc:
 
 
 def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
-                  fanin: int = 16) -> DataFrame:
+                  fanin: int = 16, ckpt_dir: str | None = None,
+                  run_id: str | None = None) -> DataFrame:
     """Sketch per group with map-side combine: partials per (partition,
 
     group) — NO row-data shuffle, so source skew cannot create a hot
-    task — then a state-only merge keyed by group."""
+    task — then a state-only merge keyed by group.
+
+    With ``ckpt_dir``/``run_id``, the same resumability contract as the
+    ungrouped build: each task atomically commits its per-(partition,
+    group) states and a re-run skips completed partitions without
+    consuming their input (an empty partition commits a zero-row file
+    so the skip applies to it too)."""
     cols = sorted({s.input for s in specs} | {group_col})
     proj = df.select(*cols)
     specs = tuple(specs)
+    if ckpt_dir is not None and run_id is None:
+        raise ValueError("ckpt_dir requires an explicit run_id")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        if ckpt_dir is not None:
+            done = _ckpt_file(ckpt_dir, run_id, pid)
+            if os.path.exists(done):
+                return  # resume: input iterator never consumed
         gacc = _GroupedAcc(specs, group_col)
         for batch in batches:
             gacc.consume(batch)
         out = gacc.to_record_batch(pid)
+        if ckpt_dir is not None:
+            if out is None:
+                out = pa.RecordBatch.from_arrays(
+                    [pa.array([], type=f.type)
+                     for f in _GROUP_STATE_PA_SCHEMA],
+                    schema=_GROUP_STATE_PA_SCHEMA)
+            _commit_state(out, done)
+            return
         if out is not None:
             yield out
 
+    num_parts = proj.rdd.getNumPartitions()
     partials = proj.mapInArrow(fn, GROUP_STATE_SCHEMA)
-    return tree_merge(partials, proj.rdd.getNumPartitions(), fanin,
+    if ckpt_dir is not None:
+        partials.write.format("noop").mode("overwrite").save()
+        partials = df.sparkSession.read.parquet(
+            os.path.join(ckpt_dir, run_id))
+    return tree_merge(partials, num_parts, fanin,
                       key_cols=("group", "kind"))
 
 

@@ -317,3 +317,34 @@ def test_ckpt_requires_run_id(tiny_df, tmp_path):
     with pytest.raises(ValueError, match="run_id"):
         build(tiny_df, (SketchSpec("hll", "tokens"),),
               ckpt_dir=str(tmp_path / "c"))
+
+
+def test_grouped_checkpoint_resume_byte_identical(spark, tmp_path):
+    """Grouped builds share the resumability contract: a resumed run
+    skips completed partitions (surviving state files untouched) and
+    per-group finals are byte-identical to an uninterrupted run."""
+    import os
+
+    df = generate_tokenized(spark, 400, seed=5, num_partitions=4)
+    specs = (SketchSpec("quotient", "tokens"),)
+    ck = str(tmp_path / "gckpt")
+
+    def states(merged):
+        return {r["group"]: bytes(r["state"]) for r in merged.collect()}
+
+    uninterrupted = states(build_grouped(df, specs, "source"))
+
+    r1 = states(build_grouped(df, specs, "source",
+                              ckpt_dir=ck, run_id="g1"))
+    files = sorted(f for f in os.listdir(os.path.join(ck, "g1"))
+                   if f.startswith("state-"))
+    assert len(files) == 4
+    for f in files[:2]:  # crash lost two partitions
+        os.remove(os.path.join(ck, "g1", f))
+    mtime_kept = os.path.getmtime(os.path.join(ck, "g1", files[2]))
+    r2 = states(build_grouped(df, specs, "source",
+                              ckpt_dir=ck, run_id="g1"))
+    assert os.path.getmtime(os.path.join(ck, "g1", files[2])) == mtime_kept
+    assert r1 == r2 == uninterrupted
+    assert set(r1) <= {"web", "books", "code", "wiki", "news"}
+    assert len(r1) >= 3  # several sources present at this size
