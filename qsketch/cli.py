@@ -72,7 +72,11 @@ def main(argv=None) -> int:
     from .spark.agg import build, build_grouped, build_partials, tree_merge
     from .spark.io import read_tokenized
 
-    spark = SparkSession.builder.appName("qsketch-build").getOrCreate()
+    # reuse an active session (tests, notebooks); only stop what we own
+    spark = SparkSession.getActiveSession()
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("qsketch-build").getOrCreate()
     df = read_tokenized(spark, args.input)
     specs = tuple(parse_spec(s) for s in args.sketches)
     t0 = time.perf_counter()
@@ -99,7 +103,8 @@ def main(argv=None) -> int:
     if metrics.get("n_tokens"):
         metrics["tokens_per_sec"] = round(metrics["n_tokens"] / wall, 1)
     print(json.dumps(metrics))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -53,3 +53,27 @@ def test_splitmix64_deterministic_and_mixing():
     assert np.array_equal(a, b)
     assert len(np.unique(a)) == 100
     assert splitmix64(0) != 0
+
+
+def test_fnv_buf_equals_str_array_and_bytes():
+    """The packed-buffer kernel, the string-list wrapper, and the scalar
+    byte loop must agree on arbitrary byte strings (incl. empty)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from qsketch.hash import fnv1a64_buf, fnv1a64_bytes, fnv1a64_str_array
+
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0,
+                    max_size=30))
+    @settings(deadline=None, max_examples=60)
+    def check(blobs):
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        a = fnv1a64_buf(buf, offs)
+        b = fnv1a64_str_array(blobs)
+        c = np.array([fnv1a64_bytes(x) for x in blobs], dtype=np.uint64)
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c.reshape(a.shape))
+
+    check()
