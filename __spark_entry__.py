@@ -261,6 +261,17 @@ def q_tdigest_nchars_quantiles(spark, sf_dir):
     return quantiles(d, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], "tdigest")
 
 
+def q_dyadic_nchars_quantiles(spark, sf_dir):
+    """Dyadic count-min quantiles — the merge-SHAPE-independent quantile
+    sketch (linear counters).  With domain_bits=13 and width 8192 every
+    level is stored exact, so the result is the EXACT inclusive-rank
+    quantile and oracle-checkable (the sketch's CMS levels only engage
+    on domains wider than the table width)."""
+    d = _docs(spark, sf_dir).select("n_chars")
+    return quantiles(d, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                     "dyadic", {"domain_bits": 13, "width": 8192})
+
+
 def q_qf_fpr(spark, sf_dir):
     """Empirical FPR vs published bound on provably-absent probes."""
     build_df = token_ids(_doc_tokens(spark, sf_dir)).select("token_id")
@@ -430,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
+        "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
         "qf_fpr": q_qf_fpr,
         "exact_dedup_groups": q_exact_dedup_groups,
         "near_duplicates": q_near_duplicates,
@@ -558,6 +570,17 @@ def oracle_sql() -> dict[str, str]:
             " squeezed / greatest(n_tokens, 1) AS mean_word_len,"
             " n_stop / greatest(n_tokens, 1) AS stopword_ratio,"
             " n_alpha / greatest(len_text, 1) AS alpha_ratio FROM toks"),
+        "dyadic_nchars_quantiles": (
+            # exact inclusive-rank quantile: smallest x with
+            # cumulative count >= ceil(q * n) — the dyadic sketch's
+            # definition, exact here because every level is exact
+            "WITH c AS (SELECT n_chars AS x, COUNT(*) AS c FROM documents"
+            "   GROUP BY 1),"
+            " w AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cum,"
+            "   SUM(c) OVER () AS n FROM c),"
+            " qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))"
+            " SELECT q, CAST(MIN(x) AS DOUBLE) AS value FROM qs, w"
+            " WHERE cum >= ceil(q * n) GROUP BY q"),
         "language_id": (
             "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),"
             " ' '), w -> w <> '') AS ws FROM documents),"

@@ -9,6 +9,7 @@ t-digest.  See SURVEY.md for the blueprint.
 from . import base
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .dyadic import DyadicCMQuantiles
 from .hash import fnv1a64, fnv1a64_bytes, fnv1a64_str_array, splitmix64
 from .hll import HyperLogLog
 from .kll import KLLSketch
@@ -19,6 +20,7 @@ __all__ = [
     "base",
     "BloomFilter",
     "CountMinSketch",
+    "DyadicCMQuantiles",
     "HyperLogLog",
     "KLLSketch",
     "QuotientFilter",

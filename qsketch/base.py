@@ -32,6 +32,7 @@ KIND_HLL = 3
 KIND_CMS = 4
 KIND_KLL = 5
 KIND_TDIGEST = 6
+KIND_DYADIC = 7
 
 _REGISTRY: dict[int, type] = {}
 

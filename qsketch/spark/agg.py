@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from .. import base
 from ..bloom import BloomFilter
 from ..cms import CountMinSketch
+from ..dyadic import DyadicCMQuantiles
 from ..hash import fnv1a64
 from ..hll import HyperLogLog
 from ..kll import KLLSketch
@@ -125,6 +126,11 @@ class _Acc:
             self.sk = KLLSketch(p.get("k", 200))
         elif k == "tdigest":
             self.sk = TDigest(p.get("delta", 200))
+        elif k == "dyadic":
+            self.sk = DyadicCMQuantiles(
+                p.get("domain_bits", 20), p.get("width", 8192),
+                p.get("depth", 3), p.get("seed", 0xD1AD1C),
+                p.get("signed", False))
         else:
             raise ValueError(f"unknown sketch kind {k}")
 

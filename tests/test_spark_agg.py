@@ -348,3 +348,16 @@ def test_grouped_checkpoint_resume_byte_identical(spark, tmp_path):
     assert r1 == r2 == uninterrupted
     assert set(r1) <= {"web", "books", "code", "wiki", "news"}
     assert len(r1) >= 3  # several sources present at this size
+
+
+def test_dyadic_state_is_partition_count_invariant(spark):
+    """The dyadic quantile sketch is LINEAR, so the engine must produce
+    byte-identical states for any partitioning — the merge-shape
+    guarantee extended to quantiles (KLL/t-digest only promise
+    commutativity + canonical merge order)."""
+    df = generate_tokenized(spark, 300, seed=7, num_partitions=2)
+    spec = (SketchSpec("dyadic", "n_tok", {"domain_bits": 12, "width": 256}),)
+    a = build(df, spec).sketches["dyadic:n_tok"].to_bytes()
+    b = build(df.repartition(7), spec).sketches["dyadic:n_tok"].to_bytes()
+    c = build(df.repartition(3), spec, fanin=2).sketches["dyadic:n_tok"].to_bytes()
+    assert a == b == c
