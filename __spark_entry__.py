@@ -77,6 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
         SketchSpec("bloom", "token_id"),
         SketchSpec("kll", "tok_len"),
         SketchSpec("tdigest", "tok_len"),
+        SketchSpec("dyadic", "tok_len", {"domain_bits": 13}),
     )
     res = build(toks, specs)
     rows = []
@@ -106,6 +107,20 @@ def q_token_counts_top50(spark, sf_dir):
     return (_doc_tokens(spark, sf_dir)
             .groupBy("token").agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("token")).limit(50))
+
+
+def q_token_bigram_counts_top50(spark, sf_dir):
+    """Top-50 token bigrams — n-gram counting entirely JVM-side
+    (transform over an index sequence; no Python, no UDF)."""
+    d = _docs(spark, sf_dir)
+    w = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__w) - 1, 0)), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))")
+    return (d.select(w.alias("__w"))
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bigram")).limit(50))
 
 
 def q_distinct_tokens_exact(spark, sf_dir):
@@ -424,6 +439,7 @@ def q_cosine_topk_lsh(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts_top50": q_token_counts_top50,
+        "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "distinct_tokens_exact": q_distinct_tokens_exact,
         "source_token_stats": q_source_token_stats,
         "qf_membership": q_qf_membership,
@@ -501,6 +517,16 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_top50": _TOKS_CTE + (
             " SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token"
             " ORDER BY cnt DESC, token ASC LIMIT 50"),
+        "token_bigram_counts_top50": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+            "   x -> x <> '') AS w FROM documents),"
+            " w1 AS (SELECT doc_id, unnest(w) AS word,"
+            "   generate_subscripts(w, 1) AS pos FROM t),"
+            " bg AS (SELECT word || ' ' || lead(word, 1) OVER win AS bigram,"
+            "   lead(word, 1) OVER win AS nxt FROM w1"
+            "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos))"
+            " SELECT bigram, COUNT(*) AS cnt FROM bg WHERE nxt IS NOT NULL"
+            " GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50"),
         "distinct_tokens_exact": _TOKS_CTE + (
             " SELECT COUNT(DISTINCT token) AS n_distinct FROM tok"),
         "source_token_stats": (
