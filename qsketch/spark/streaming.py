@@ -159,6 +159,55 @@ def windowed_token_rate(stream_df: DataFrame, ts_col: str = "ts",
                  F.count("*").alias("docs")))
 
 
+def stream_dedupe_exact(stream_df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Cross-micro-batch EXACT dedup for a streaming ingest: emit exactly
+
+    one representative per distinct text — the first micro-batch it
+    appears in (min id within that batch for determinism) — and drop
+    every later duplicate.  A custom stateful operator
+    (applyInPandasWithState keyed on the md5 digest); per-key state is a
+    single int64 seen-count, so state size is bounded by #distinct docs
+    (16-byte key + 8-byte count), not by stream length.  The relational
+    parts (digest, grouping) stay in Catalyst; Spark's own
+    dropDuplicates would also work but keeps rows in opaque state and
+    cannot report duplicate counts.
+
+    Output rows: (id, digest, dup_seen_before=False) on first sight.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    keyed = stream_df.select(F.md5(F.col(text_col)).alias("__digest"),
+                             F.col(id_col))
+
+    def update(key, pdfs, state: GroupState):
+        digest = key[0]
+        n_new, first_id = 0, None
+        for pdf in pdfs:
+            if len(pdf):
+                n_new += len(pdf)
+                m = pdf[id_col].min()
+                first_id = m if first_id is None else min(first_id, m)
+        if state.exists:
+            (cnt,) = state.get
+            state.update((cnt + n_new,))
+            return  # already emitted a representative in a prior batch
+        state.update((n_new,))
+        if first_id is not None:
+            yield pd.DataFrame({id_col: [first_id], "digest": [digest]})
+
+    return (keyed.groupBy("__digest").applyInPandasWithState(
+        update,
+        outputStructType=f"{id_col} {id_type}, digest string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
                           tokens_col: str = "tokens",
                           ttl_ms: int = 1_800_000, hll_p: int = 14):

@@ -237,3 +237,36 @@ def test_rolling_sketch_ttl_expiry(spark, tmp_path):
         q.stop()
     assert live, "no live emissions seen"
     assert expired >= live, f"keys never expired: {live - expired}"
+
+
+def test_stream_dedupe_exact_first_seen(spark, tmp_path):
+    """Cross-batch dedup: one representative per distinct text over the
+    whole stream, emitted in the first micro-batch it appears; later
+    duplicates (incl. cross-chunk) produce no output rows."""
+    import os
+
+    from qsketch.spark.streaming import stream_dedupe_exact
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    rows1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]
+    rows2 = [(10, "alpha beta"), (11, "epsilon zeta"), (12, "gamma delta")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/c0")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "4").parquet(f"{src}/c*"))
+    out = stream_dedupe_exact(stream)
+    q = (out.writeStream.format("memory").queryName("dedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        first = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup").collect()}
+        assert first == {1, 2}  # min id within the batch wins
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/c1")
+        q.processAllAvailable()
+        after = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup").collect()}
+        # only the genuinely new text emits; cross-batch dups are dropped
+        assert after == {1, 2, 11}
+    finally:
+        q.stop()
