@@ -115,9 +115,12 @@ def q_token_bigram_counts_top50(spark, sf_dir):
     d = _docs(spark, sf_dir)
     w = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(__w) - 1, 0)), "
+        "transform(sequence(1, size(__w) - 1), "
         "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))")
     return (d.select(w.alias("__w"))
+            # docs with < 2 words have no bigrams; without this guard
+            # sequence(1, 0) descends and element_at(_, 0) errors
+            .where(F.size(F.col("__w")) >= 2)
             .select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram").agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("bigram")).limit(50))
@@ -283,8 +286,11 @@ def q_dyadic_nchars_quantiles(spark, sf_dir):
     quantile and oracle-checkable (the sketch's CMS levels only engage
     on domains wider than the table width)."""
     d = _docs(spark, sf_dir).select("n_chars")
+    # width == 2^domain_bits keeps EVERY level exact while covering
+    # n_chars up to 65535 (a narrower domain would hard-error on a
+    # long doc instead of degrading)
     return quantiles(d, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
-                     "dyadic", {"domain_bits": 13, "width": 8192})
+                     "dyadic", {"domain_bits": 16, "width": 1 << 16})
 
 
 def q_qf_fpr(spark, sf_dir):

@@ -84,8 +84,11 @@ def main(argv=None) -> int:
         final = build_grouped(df, specs, args.group_by, args.fanin,
                               args.ckpt, args.run_id)
         final.write.mode("overwrite").parquet(args.output)
-        n_rows = final.count()
-        metrics = {"groups": n_rows}
+        # count from the WRITTEN table: counting `final` would re-run
+        # the whole grouped build a second time
+        n_groups = (spark.read.parquet(args.output)
+                    .select("group").distinct().count())
+        metrics = {"groups": n_groups}
     else:
         num_parts = df.rdd.getNumPartitions()
         partials = build_partials(df, specs, args.ckpt, args.run_id)

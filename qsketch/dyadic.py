@@ -129,7 +129,9 @@ class DyadicCMQuantiles:
         lo_dom = -self._offset()
         hi_dom = (1 << self.domain_bits) - self._offset() - 1
         for j, xv in enumerate(xs):
-            xv = int(xv)
+            # floor, not truncate: rank(-1.5) must count v <= -2, and
+            # int(-1.5) == -1 would silently include -1
+            xv = int(np.floor(xv))
             if xv < lo_dom:
                 out[j] = 0
                 continue

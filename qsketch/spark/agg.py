@@ -218,6 +218,14 @@ def _ckpt_file(ckpt_dir: str, run_id: str, pid: int) -> str:
     return os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
 
 
+def _materialize_ckpt(partials: DataFrame, spark: SparkSession,
+                      ckpt_dir: str, run_id: str) -> DataFrame:
+    """Force the tasks' side-effect state commits (noop sink), then read
+    the committed state table back — shared by every ckpt-enabled build."""
+    partials.write.format("noop").mode("overwrite").save()
+    return spark.read.parquet(os.path.join(ckpt_dir, run_id))
+
+
 class _PartitionAcc:
     """Shared per-partition accumulation loop for both scan variants."""
 
@@ -310,9 +318,7 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
     partials = proj.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
-        # materialize task side-effect writes, then read the state table
-        partials.write.format("noop").mode("overwrite").save()
-        return df.sparkSession.read.parquet(os.path.join(ckpt_dir, run_id))
+        return _materialize_ckpt(partials, df.sparkSession, ckpt_dir, run_id)
     return partials
 
 
@@ -373,8 +379,8 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         [(f,) for f in files], len(files)).toDF(["path"])
     partials = paths_df.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
-        partials.write.format("noop").mode("overwrite").save()
-        return (spark.read.parquet(os.path.join(ckpt_dir, run_id)), len(files))
+        return (_materialize_ckpt(partials, spark, ckpt_dir, run_id),
+                len(files))
     return partials, len(files)
 
 
@@ -529,8 +535,7 @@ class _GroupedAcc:
             [pa.array(names), pa.array(pids, type=pa.int32()), pa.array(kinds),
              pa.array(blobs, type=pa.binary()), pa.array(nr, type=pa.int64()),
              pa.array(nt, type=pa.int64()), pa.array(ms, type=pa.float64())],
-            names=["group", "partition_id", "kind", "state",
-                   "n_rows", "n_tokens", "build_ms"],
+            schema=_GROUP_STATE_PA_SCHEMA,
         )
 
 
@@ -579,9 +584,8 @@ def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
     num_parts = proj.rdd.getNumPartitions()
     partials = proj.mapInArrow(fn, GROUP_STATE_SCHEMA)
     if ckpt_dir is not None:
-        partials.write.format("noop").mode("overwrite").save()
-        partials = df.sparkSession.read.parquet(
-            os.path.join(ckpt_dir, run_id))
+        partials = _materialize_ckpt(partials, df.sparkSession,
+                                     ckpt_dir, run_id)
     return tree_merge(partials, num_parts, fanin,
                       key_cols=("group", "kind"))
 

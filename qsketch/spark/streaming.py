@@ -169,11 +169,12 @@ def stream_dedupe_exact(stream_df: DataFrame, text_col: str = "text",
     (applyInPandasWithState keyed on the md5 digest); per-key state is a
     single int64 seen-count, so state size is bounded by #distinct docs
     (16-byte key + 8-byte count), not by stream length.  The relational
-    parts (digest, grouping) stay in Catalyst; Spark's own
-    dropDuplicates would also work but keeps rows in opaque state and
-    cannot report duplicate counts.
+    parts (digest, grouping) stay in Catalyst.
 
-    Output rows: (id, digest, dup_seen_before=False) on first sight.
+    Output rows: (id, digest), one per distinct text, emitted on first
+    sight only.  The running per-digest seen-count lives in the
+    operator state (available to a future count-reporting output mode),
+    it is not part of the emitted schema.
     """
     import pandas as pd
 
