@@ -432,6 +432,28 @@ def q_cosine_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(emb, qs, dim=dim, k=10, n_cells=16, n_probe=6)
 
 
+def q_cosine_topk_ivf_index(spark, sf_dir):
+    """Persisted cell-partitioned IVF index, FULL-probe mode
+    (n_probe == n_cells): every cell is scanned, so the result is the
+    exact top-k and shares the brute-force oracle — this proves the
+    build→write→load→query round trip bit-for-bit.  (The approximate
+    n_probe < n_cells path is cosine_topk_ivf + recall pytest.)"""
+    import tempfile
+
+    from qsketch.spark.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    path = tempfile.mkdtemp(prefix="qsketch-ivf-idx-")
+    idx = IVFIndex.build(emb, dim=dim, path=path, n_cells=16)
+    loaded = IVFIndex.load(path)
+    qs = (emb.where(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = loaded.query(spark, qs, k=10, n_probe=16)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_cosine_topk_lsh(spark, sf_dir):
     from qsketch.spark.similarity import cosine_topk_lsh
 
@@ -475,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_ivf_index": q_cosine_topk_ivf_index,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
     }
@@ -489,6 +512,22 @@ def _lang_profiles() -> dict[str, str]:
 
 _TOKS_CTE = ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
              "FROM documents), tok AS (SELECT token FROM toks WHERE token <> '')")
+
+_COSINE_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe"
+    "   FROM embeddings WHERE vec_id < 5),"
+    # cast both sides to DOUBLE[]: the parquet column is FLOAT[] and
+    # DuckDB's list_cosine_similarity would compute in float32,
+    # flipping round(c, 6) on boundary values vs Spark's float64
+    " scored AS (SELECT q.query_id, e.vec_id,"
+    "   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+    "                          CAST(q.qe AS DOUBLE[])) AS c"
+    "   FROM embeddings e, q),"
+    " r AS (SELECT query_id, vec_id, c, row_number() OVER"
+    "   (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank"
+    "   FROM scored)"
+    " SELECT query_id, vec_id, ROUND(c, 6) AS cosine, rank"
+    " FROM r WHERE rank <= 10")
 
 _NEAR_DUP_SQL = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
@@ -635,20 +674,7 @@ def oracle_sql() -> dict[str, str]:
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,"
             " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))"
             " AS n_pieces FROM documents"),
-        "cosine_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe"
-            "   FROM embeddings WHERE vec_id < 5),"
-            # cast both sides to DOUBLE[]: the parquet column is FLOAT[]
-            # and DuckDB's list_cosine_similarity would compute in
-            # float32, flipping round(c, 6) on boundary values vs
-            # Spark's float64 arithmetic
-            " scored AS (SELECT q.query_id, e.vec_id,"
-            "   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
-            "                          CAST(q.qe AS DOUBLE[])) AS c"
-            "   FROM embeddings e, q),"
-            " r AS (SELECT query_id, vec_id, c, row_number() OVER"
-            "   (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank"
-            "   FROM scored)"
-            " SELECT query_id, vec_id, ROUND(c, 6) AS cosine, rank"
-            " FROM r WHERE rank <= 10"),
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # full-probe persisted-index path must equal the exact top-k
+        "cosine_topk_ivf_index": _COSINE_TOPK_SQL,
     }
