@@ -1,0 +1,95 @@
+"""Scale drill for the text-pipeline operators: 100k+ documents
+(20x the sf0.1 corpus) with PLANTED exact and near duplicates, on
+local[8].  Checks that the vectorized paths hold their shape at volume
+(no quadratic blowups, planted dups recovered) and prints one JSON line
+of wall times.
+
+Usage: python tools/stress_textops.py [n_docs] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+N_CLONES = 500       # exact duplicates of distinct base docs
+N_NEAR = 500         # single-token-edited near duplicates
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from qsketch.spark.io import generate_tokenized
+    from qsketch.spark.session import make_session
+    from qsketch.spark.textops import (dedupe_exact, language_id,
+                                       near_duplicates,
+                                       simhash_near_duplicates,
+                                       winnow_fingerprints)
+
+    spark = make_session(CPUS, app="qsketch-stress")
+    # text corpus derived deterministically from the tokenized table:
+    # token ids -> 't<id>' words (same Zipf shape as real tokens)
+    base = (generate_tokenized(spark, N_DOCS, seed=77,
+                               num_partitions=CPUS * 4)
+            .select(F.xxhash64("doc_id").alias("doc_id"),
+                    F.array_join(
+                        F.transform("tokens",
+                                    lambda t: F.concat(F.lit("t"),
+                                                       t.cast("string"))),
+                        " ").alias("text")))
+    # plant exact clones and one-token-edited near-dups of the first rows
+    seeds = base.limit(N_CLONES + N_NEAR).collect()
+    clones = [(r["doc_id"] + 1, r["text"]) for r in seeds[:N_CLONES]]
+    near = []
+    for r in seeds[N_CLONES:]:
+        w = r["text"].split(" ")
+        if len(w) >= 8:
+            w[3] = "EDITED"
+        near.append((r["doc_id"] + 2, " ".join(w)))
+    planted = spark.createDataFrame(clones + near, "doc_id long, text string")
+    docs = base.unionByName(planted).persist()
+    n = docs.count()
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 2)
+        return out
+
+    n_groups = timed("dedupe_exact",
+                     lambda: dedupe_exact(docs).count())
+    assert n_groups <= n - N_CLONES, (n_groups, n)
+
+    # near-dup at volume NEEDS the bucket cap (planted clones flood
+    # bands); exact clones are exact-dedup's job, near-edits survive
+    pairs = timed("near_duplicates_capped",
+                  lambda: near_duplicates(docs, threshold=0.8,
+                                          max_bucket=200).count())
+    assert pairs >= N_NEAR * 0.9, pairs
+
+    sh_pairs = timed("simhash_near_duplicates",
+                     lambda: simhash_near_duplicates(
+                         docs, max_hamming=3, max_bucket=200).count())
+    assert sh_pairs >= N_CLONES * 0.9, sh_pairs  # clones are hamming-0
+
+    timed("language_id", lambda: language_id(docs).count())
+    timed("winnow_fingerprints",
+          lambda: winnow_fingerprints(docs).count())
+
+    print(json.dumps({"n_docs": int(n), "cpus": CPUS,
+                      "near_pairs": int(pairs),
+                      "simhash_pairs": int(sh_pairs),
+                      "sec": times}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
