@@ -185,6 +185,29 @@ def q_events_distinct_users_exact(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"))
 
 
+def q_events_hourly_stats(spark, sf_dir):
+    """Temporal rollup: per-hour event volume, distinct users, value sum
+    (hour emitted as a string so the oracle compare is dtype-stable)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH").alias("hour"))
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.round(F.sum("value"), 4).alias("value_sum")))
+
+
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured: extract props.k from the JSON column JVM-side
+    (get_json_object) and aggregate exactly per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.sum("k").alias("k_sum"),
+                   F.countDistinct("k").alias("k_distinct"),
+                   F.count("*").alias("n")))
+
+
 def q_lineitem_distinct_parts_exact(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
@@ -476,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "qf_cardinality_by_source": q_qf_cardinality_by_source,
         "events_distinct_users_exact": q_events_distinct_users_exact,
+        "events_hourly_stats": q_events_hourly_stats,
+        "events_json_props": q_events_json_props,
         "lineitem_distinct_parts_exact": q_lineitem_distinct_parts_exact,
         "hll_cardinality": q_hll_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -600,6 +625,17 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users_exact": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type"),
+        "events_hourly_stats": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,"
+            " COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,"
+            " ROUND(SUM(value), 4) AS value_sum"
+            " FROM events GROUP BY 1"),
+        "events_json_props": (
+            "SELECT event_type,"
+            " SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,"
+            " COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            "   AS k_distinct,"
+            " COUNT(*) AS n FROM events GROUP BY event_type"),
         "lineitem_distinct_parts_exact": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,"
             " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
