@@ -208,6 +208,24 @@ def q_events_json_props(spark, sf_dir):
                    F.count("*").alias("n")))
 
 
+def q_events_user_sessions(spark, sf_dir):
+    """Sessionization: per-user session count with a 30-minute
+    inactivity gap — lag window + conditional sum, all Catalyst."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ (no direct long cast); go via timestamp —
+    # the session-tz shift cancels in the difference
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    return (ev.select("user_id", gap.alias("gap"))
+              .groupBy("user_id")
+              .agg((F.sum(F.when(F.col("gap") > 1800, 1).otherwise(0))
+                    + F.lit(1)).alias("n_sessions"),
+                   F.count("*").alias("n_events")))
+
+
 def q_lineitem_distinct_parts_exact(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
@@ -501,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users_exact": q_events_distinct_users_exact,
         "events_hourly_stats": q_events_hourly_stats,
         "events_json_props": q_events_json_props,
+        "events_user_sessions": q_events_user_sessions,
         "lineitem_distinct_parts_exact": q_lineitem_distinct_parts_exact,
         "hll_cardinality": q_hll_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -636,6 +655,13 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))"
             "   AS k_distinct,"
             " COUNT(*) AS n FROM events GROUP BY event_type"),
+        "events_user_sessions": (
+            "WITH g AS (SELECT user_id,"
+            "   epoch(ts) - lag(epoch(ts)) OVER"
+            "     (PARTITION BY user_id ORDER BY ts) AS gap FROM events)"
+            " SELECT user_id,"
+            " SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS n_sessions,"
+            " COUNT(*) AS n_events FROM g GROUP BY user_id"),
         "lineitem_distinct_parts_exact": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,"
             " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
