@@ -215,8 +215,13 @@ def q_events_user_sessions(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # ts is TIMESTAMP_NTZ (no direct long cast); go via timestamp —
-    # the session-tz shift cancels in the difference
+    # ts is TIMESTAMP_NTZ (no direct long cast); the timestamp cast is
+    # session-tz-dependent, so sessions are well-defined only under a
+    # pinned tz (make_session/check_oracle pin UTC) or DST-free data.
+    # Gap semantics = difference of FLOOR(epoch) seconds — the oracle
+    # floors epoch() the same way (DuckDB epoch() is fractional DOUBLE;
+    # comparing floored vs fractional gaps at the 1800s threshold would
+    # otherwise disagree on boundary gaps like 1800.3s).
     secs = F.col("ts").cast("timestamp").cast("long")
     gap = secs - F.lag(secs).over(w)
     return (ev.select("user_id", gap.alias("gap"))
@@ -656,8 +661,11 @@ def oracle_sql() -> dict[str, str]:
             "   AS k_distinct,"
             " COUNT(*) AS n FROM events GROUP BY event_type"),
         "events_user_sessions": (
+            # floor(epoch(.)) matches Spark's long cast; raw epoch() is
+            # fractional and would break differently on boundary gaps
             "WITH g AS (SELECT user_id,"
-            "   epoch(ts) - lag(epoch(ts)) OVER"
+            "   CAST(floor(epoch(ts)) AS BIGINT)"
+            "   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER"
             "     (PARTITION BY user_id ORDER BY ts) AS gap FROM events)"
             " SELECT user_id,"
             " SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS n_sessions,"

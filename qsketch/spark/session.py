@@ -36,6 +36,8 @@ def make_session(cpus: int, app: str = "qsketch", driver_mem: str = "16g",
     os.environ.update(_ALLOC_ENV)  # driver side + inherited by the JVM
     b = (SparkSession.builder.master(f"local[{cpus}]").appName(app)
          .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.session.timeZone", "UTC")  # NTZ casts and
+         # epoch arithmetic must not depend on the host's zone
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", driver_mem)
          .config("spark.ui.enabled", "false")

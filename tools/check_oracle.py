@@ -32,6 +32,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     con = duckdb.connect()

@@ -9,8 +9,10 @@ Usage: python tools/stress_streaming.py [files_per_trigger] [cpus]
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -32,48 +34,52 @@ def main() -> None:
     spark = make_session(CPUS, app="qsketch-stress-stream")
     if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
         write_tokenized(spark, CACHE, 2_000_000, seed=42, num_partitions=64)
+    n_files = len(glob.glob(os.path.join(CACHE, "*.parquet")))
 
     state = tempfile.mkdtemp(prefix="qsketch-stream-state-")
     ckpt = tempfile.mkdtemp(prefix="qsketch-stream-ckpt-")
-
-    stream = (spark.readStream
-              .schema("doc_id string, tokens array<int>, n_tok int, "
-                      "source string")
-              .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
-              .parquet(CACHE))
-    t0 = time.perf_counter()
-    q = stream_build(stream, state, DEFAULT_SPECS, checkpoint_dir=ckpt)
     try:
-        q.processAllAvailable()
+        stream = (spark.readStream
+                  .schema("doc_id string, tokens array<int>, n_tok int, "
+                          "source string")
+                  .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+                  .parquet(CACHE))
+        t0 = time.perf_counter()
+        q = stream_build(stream, state, DEFAULT_SPECS, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_sec = time.perf_counter() - t0
+
+        streamed = SketchStateStore(state).load()
+        t0 = time.perf_counter()
+        batch = build_files(spark, CACHE, DEFAULT_SPECS)
+        batch_sec = time.perf_counter() - t0
+
+        identical = {}
+        for kind in ("quotient:tokens", "hll:tokens", "cms:tokens",
+                     "bloom:tokens"):
+            identical[kind] = (streamed[kind].to_bytes()
+                               == batch.sketches[kind].to_bytes())
+        assert all(identical.values()), identical
+        n_tokens = batch.n_tokens
+        print(json.dumps({
+            "n_tokens": n_tokens,
+            "files_per_trigger": FILES_PER_TRIGGER,
+            "micro_batches": -(-n_files // FILES_PER_TRIGGER),
+            "stream_sec": round(stream_sec, 2),
+            "stream_tokens_per_sec": round(n_tokens / stream_sec, 0),
+            "batch_sec": round(batch_sec, 2),
+            "canonical_states_byte_identical": identical,
+            "quantile_estimates_close": {
+                k: [float(streamed[k].quantiles([0.5])[0]),
+                    float(batch.sketches[k].quantiles([0.5])[0])]
+                for k in ("kll:n_tok", "tdigest:n_tok")},
+        }))
     finally:
-        q.stop()
-    stream_sec = time.perf_counter() - t0
-
-    streamed = SketchStateStore(state).load()
-    t0 = time.perf_counter()
-    batch = build_files(spark, CACHE, DEFAULT_SPECS)
-    batch_sec = time.perf_counter() - t0
-
-    identical = {}
-    for kind in ("quotient:tokens", "hll:tokens", "cms:tokens",
-                 "bloom:tokens"):
-        identical[kind] = (streamed[kind].to_bytes()
-                           == batch.sketches[kind].to_bytes())
-    assert all(identical.values()), identical
-    n_tokens = batch.n_tokens
-    print(json.dumps({
-        "n_tokens": n_tokens,
-        "files_per_trigger": FILES_PER_TRIGGER,
-        "micro_batches": -(-64 // FILES_PER_TRIGGER),
-        "stream_sec": round(stream_sec, 2),
-        "stream_tokens_per_sec": round(n_tokens / stream_sec, 0),
-        "batch_sec": round(batch_sec, 2),
-        "canonical_states_byte_identical": identical,
-        "quantile_estimates_close": {
-            k: [float(streamed[k].quantiles([0.5])[0]),
-                float(batch.sketches[k].quantiles([0.5])[0])]
-            for k in ("kll:n_tok", "tdigest:n_tok")},
-    }))
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark.stop()
 
 

@@ -73,7 +73,9 @@ def main() -> None:
     pairs = timed("near_duplicates_capped",
                   lambda: near_duplicates(docs, threshold=0.8,
                                           max_bucket=200).count())
-    assert pairs >= N_NEAR * 0.9, pairs
+    # clone pairs (jaccard 1.0) AND near-edit pairs must both surface:
+    # clone-only recovery would still pass a N_NEAR*0.9 bar
+    assert pairs >= (N_CLONES + N_NEAR) * 0.9, pairs
 
     sh_pairs = timed("simhash_near_duplicates",
                      lambda: simhash_near_duplicates(
