@@ -325,6 +325,21 @@ def q_tdigest_nchars_quantiles(spark, sf_dir):
     return quantiles(d, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], "tdigest")
 
 
+def q_dyadic_nchars_quantiles_by_source(spark, sf_dir):
+    """GROUPED quantiles through the sketch engine: per-source dyadic
+    states built with map-side combine (no row shuffle), decoded
+    distributed — exact in all-exact-levels mode, so the per-group
+    medians match the SQL inclusive-rank quantiles bit-for-bit."""
+    from qsketch.spark.queries import grouped_quantiles
+
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    merged = build_grouped(
+        d, (SketchSpec("dyadic", "n_chars",
+                       {"domain_bits": 16, "width": 1 << 16}),), "source")
+    return (grouped_quantiles(merged, [0.25, 0.5, 0.9], "group")
+            .withColumnRenamed("group", "source"))
+
+
 def q_dyadic_nchars_quantiles(spark, sf_dir):
     """Dyadic count-min quantiles — the merge-SHAPE-independent quantile
     sketch (linear counters).  With domain_bits=13 and width 8192 every
@@ -535,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
+        "dyadic_nchars_quantiles_by_source": q_dyadic_nchars_quantiles_by_source,
         "qf_fpr": q_qf_fpr,
         "exact_dedup_groups": q_exact_dedup_groups,
         "near_duplicates": q_near_duplicates,
@@ -722,6 +738,15 @@ def oracle_sql() -> dict[str, str]:
             " qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))"
             " SELECT q, CAST(MIN(x) AS DOUBLE) AS value FROM qs, w"
             " WHERE cum >= ceil(q * n) GROUP BY q"),
+        "dyadic_nchars_quantiles_by_source": (
+            "WITH c AS (SELECT source, n_chars AS x, COUNT(*) AS c"
+            "   FROM documents GROUP BY 1, 2),"
+            " w AS (SELECT source, x,"
+            "   SUM(c) OVER (PARTITION BY source ORDER BY x) AS cum,"
+            "   SUM(c) OVER (PARTITION BY source) AS n FROM c),"
+            " qs(q) AS (VALUES (0.25), (0.5), (0.9))"
+            " SELECT source, q, CAST(MIN(x) AS DOUBLE) AS value"
+            " FROM qs, w WHERE cum >= ceil(q * n) GROUP BY source, q"),
         "language_id": (
             "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),"
             " ' '), w -> w <> '') AS ws FROM documents),"

@@ -225,6 +225,36 @@ def grouped_cardinality(merged_states: DataFrame, group_col: str = "group",
                                 card(F.col("state")).alias(out_col))
 
 
+def grouped_quantiles(merged_states: DataFrame, qs: list[float],
+                      group_col: str = "group") -> DataFrame:
+    """Decode merged grouped quantile-sketch states -> one row per
+
+    (group, q) WITHOUT a driver collect (distributed decode, same shape
+    as grouped_cardinality).  Works for any state kind exposing
+    ``quantiles`` (KLL / t-digest / dyadic)."""
+    from pyspark.sql.functions import explode, pandas_udf
+
+    qs = [float(q) for q in qs]
+
+    @pandas_udf("array<double>")
+    def vals(states: pd.Series) -> pd.Series:
+        return pd.Series([
+            np.asarray(base.from_bytes(b).quantiles(
+                np.asarray(qs, dtype=np.float64)),
+                dtype=np.float64).tolist()
+            for b in states])
+
+    qcol = F.array(*[F.lit(q) for q in qs])
+    return (merged_states
+            .select(F.col(group_col), vals(F.col("state")).alias("__v"))
+            .select(group_col,
+                    explode(F.arrays_zip(qcol.alias("q"),
+                                         F.col("__v").alias("value")))
+                    .alias("z"))
+            .select(group_col, F.col("z.q").alias("q"),
+                    F.col("z.value").alias("value")))
+
+
 def build_excluding(build_df: DataFrame, exclude_df: DataFrame,
                     build_col: str, exclude_col: str,
                     kind: str = "quotient", params: dict | None = None):
