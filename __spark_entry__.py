@@ -126,6 +126,21 @@ def q_token_bigram_counts_top50(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("bigram")).limit(50))
 
 
+def q_top_tokens_per_source(spark, sf_dir):
+    """Per-group top-k: the 5 most frequent tokens per source (count
+    desc, token asc tie-break) — grouped aggregate + rank window."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source", F.explode(F.split("text", " ")).alias("token"))
+             .where(F.col("token") != ""))
+    cnt = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    return (cnt.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 5)
+               .select("source", "token", "cnt", "rank"))
+
+
 def q_distinct_tokens_exact(spark, sf_dir):
     return (_doc_tokens(spark, sf_dir)
             .agg(F.countDistinct("token").alias("n_distinct")))
@@ -529,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts_top50": q_token_counts_top50,
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
+        "top_tokens_per_source": q_top_tokens_per_source,
         "distinct_tokens_exact": q_distinct_tokens_exact,
         "source_token_stats": q_source_token_stats,
         "qf_membership": q_qf_membership,
@@ -637,6 +653,15 @@ def oracle_sql() -> dict[str, str]:
             "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos))"
             " SELECT bigram, COUNT(*) AS cnt FROM bg WHERE nxt IS NOT NULL"
             " GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50"),
+        "top_tokens_per_source": (
+            "WITH t AS (SELECT source, unnest(string_split(text, ' '))"
+            "   AS token FROM documents),"
+            " c AS (SELECT source, token, COUNT(*) AS cnt FROM t"
+            "   WHERE token <> '' GROUP BY source, token),"
+            " r AS (SELECT source, token, cnt, row_number() OVER"
+            "   (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rank"
+            "   FROM c)"
+            " SELECT source, token, cnt, rank FROM r WHERE rank <= 5"),
         "distinct_tokens_exact": _TOKS_CTE + (
             " SELECT COUNT(DISTINCT token) AS n_distinct FROM tok"),
         "source_token_stats": (
