@@ -449,6 +449,31 @@ def q_embedding_near_duplicates(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_near_duplicates_lsh(spark, sf_dir):
+    """The SRP-LSH candidate scale path (bucket self-join, no cartesian),
+    checked against the same exact-cosine oracle: at threshold 0.45 with
+    4-bit keys x 96 tables, P[miss] <= (1-(1-acos(0.45)/pi)^4)^96 ~ 7e-9
+    per qualifying pair, and deterministic seeded hyperplanes make the
+    result reproducible run-to-run."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(emb, threshold=0.45, method="lsh",
+                                    n_bits=4, n_tables=96)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_stream_windowed_token_rate(spark, sf_dir):
+    """Streaming category, driver-auditable: documents streamed through a
+    real Structured Streaming query (watermarked event-time window agg,
+    memory sink, complete mode) with deterministic synthetic event time
+    (one doc per minute), checked against a DuckDB time-bucket oracle.
+    All-integer outputs, so the typed hash is exact."""
+    from qsketch.spark.streaming import windowed_token_rate_batch_equiv
+
+    return windowed_token_rate_batch_equiv(spark, sf_dir)
+
+
 def q_text_quality(spark, sf_dir):
     from qsketch.spark.textops import text_quality
 
@@ -572,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": q_near_duplicates,
         "near_duplicate_groups": q_near_duplicate_groups,
         "embedding_near_duplicates": q_embedding_near_duplicates,
+        "embedding_near_duplicates_lsh": q_embedding_near_duplicates_lsh,
+        "stream_windowed_token_rate": q_stream_windowed_token_rate,
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
         "language_id": q_language_id,
@@ -609,6 +636,14 @@ _COSINE_TOPK_SQL = (
     "   FROM scored)"
     " SELECT query_id, vec_id, ROUND(c, 6) AS cosine, rank"
     " FROM r WHERE rank <= 10")
+
+_EMB_NEAR_DUP_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+    "   FROM embeddings)"
+    " SELECT x.vec_id AS a, y.vec_id AS b,"
+    " ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine"
+    " FROM e x JOIN e y ON x.vec_id < y.vec_id"
+    " WHERE list_cosine_similarity(x.v, y.v) >= 0.45")
 
 _NEAR_DUP_SQL = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
@@ -697,7 +732,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1"),
         "events_json_props": (
             "SELECT event_type,"
-            " SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,"
+            # outer cast: DuckDB SUM(BIGINT) is HUGEINT -> pandas float64,
+            # which breaks the driver's typed hash vs Spark's int64
+            " CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            "   AS BIGINT) AS k_sum,"
             " COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))"
             "   AS k_distinct,"
             " COUNT(*) AS n FROM events GROUP BY event_type"),
@@ -709,7 +747,10 @@ def oracle_sql() -> dict[str, str]:
             "   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER"
             "     (PARTITION BY user_id ORDER BY ts) AS gap FROM events)"
             " SELECT user_id,"
-            " SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS n_sessions,"
+            # outer cast: SUM over ints is HUGEINT in DuckDB (float64 in
+            # pandas), which breaks the typed hash vs Spark's int64
+            " CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1"
+            "   AS BIGINT) AS n_sessions,"
             " COUNT(*) AS n_events FROM g GROUP BY user_id"),
         "lineitem_distinct_parts_exact": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,"
@@ -733,13 +774,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, CAST(COALESCE(LEAST(c.id, c.m), d.doc_id)"
             " AS BIGINT) AS group_id"
             " FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"),
-        "embedding_near_duplicates": (
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "   FROM embeddings)"
-            " SELECT x.vec_id AS a, y.vec_id AS b,"
-            " ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine"
-            " FROM e x JOIN e y ON x.vec_id < y.vec_id"
-            " WHERE list_cosine_similarity(x.v, y.v) >= 0.45"),
+        "embedding_near_duplicates": _EMB_NEAR_DUP_SQL,
+        # same exact oracle: the LSH path must recover the full pair set
+        "embedding_near_duplicates_lsh": _EMB_NEAR_DUP_SQL,
+        "stream_windowed_token_rate": (
+            # synthetic event time ts = doc_id*60 s; 1-hour epoch-aligned
+            # windows -> win_start_epoch = floor(ts/3600)*3600
+            "SELECT CAST((doc_id * 60 // 3600) * 3600 AS BIGINT)"
+            "   AS win_start_epoch,"
+            " CAST(SUM(len(list_filter(string_split(text, ' '),"
+            "   t -> t <> ''))) AS BIGINT) AS tokens,"
+            " COUNT(*) AS docs"
+            " FROM documents GROUP BY 1"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"

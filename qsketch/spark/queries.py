@@ -119,6 +119,16 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
     from ..hash import fnv1a64
     from .agg import _finalize
 
+    # the candidate/value path is packed as int64 end-to-end; fail at
+    # entry with a clear message instead of an opaque Arrow schema error
+    # mid-job (heavy_hitters handles arbitrary key types)
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"heavy_hitters_sketch: column {col!r} is {dt}; the CMS "
+            "candidate path requires an integer column — use "
+            "heavy_hitters() for string/other key types")
+
     m = candidates_per_partition or 8 * k
     p = params or {}
     kind = SketchSpec("cms", col, p).name
@@ -175,7 +185,8 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
                    "build_ms", "value", "part_cnt"])
 
     n_leaves = df.rdd.getNumPartitions()
-    parts = (df.select(col).mapInArrow(fn, unified)
+    parts = (df.select(F.col(col).cast("long").alias(col))
+               .mapInArrow(fn, unified)
                .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         states = parts.where(F.col("state").isNotNull()).drop(

@@ -139,20 +139,34 @@ def register_estimate(spark: SparkSession, name: str = "qsketch_estimate") -> No
 
     (HLL estimate / QF-Bloom-CMS cardinality-style summary), so a full
     build+read round trip is expressible in SQL."""
+    import inspect
+
     from .. import base
+
+    def _zero_arg_estimate(sk):
+        """sk.estimate only if it is callable with no arguments — decided
+        by signature, NOT by catching TypeError, which would also swallow
+        a genuine TypeError raised INSIDE an estimate() body and silently
+        misroute to cardinality()."""
+        fn = getattr(sk, "estimate", None)
+        if fn is None:
+            return None
+        required = [
+            p for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind not in (inspect.Parameter.VAR_POSITIONAL,
+                               inspect.Parameter.VAR_KEYWORD)]
+        return fn if not required else None  # CMS point-estimate: args
 
     @pandas_udf("double")
     def est(states: pd.Series) -> pd.Series:
         out = []
         for b in states:
             sk = base.from_bytes(bytes(b))
-            if hasattr(sk, "estimate"):
-                try:
-                    out.append(float(sk.estimate()))
-                    continue
-                except TypeError:
-                    pass  # point-estimate sketches (CMS) need arguments
-            if hasattr(sk, "cardinality"):
+            fn = _zero_arg_estimate(sk)
+            if fn is not None:
+                out.append(float(fn()))
+            elif hasattr(sk, "cardinality"):
                 out.append(float(sk.cardinality()))
             else:
                 raise TypeError(

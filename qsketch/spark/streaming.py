@@ -267,3 +267,63 @@ def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
         stateStructType="state binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+_MEMSINK_SEQ = [0]
+
+
+def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
+                         output_mode: str = "complete") -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion through a real
+
+    Structured Streaming query into an in-memory sink and return the
+    final table.  This is the batch-equivalence harness for the driver
+    contract: the stream genuinely goes through the streaming engine
+    (micro-batch planner, stateful agg), then the settled table is
+    handed back as an ordinary DataFrame.
+    """
+    spark = stream_df.sparkSession
+    _MEMSINK_SEQ[0] += 1
+    name = f"{name_prefix}_{_MEMSINK_SEQ[0]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def windowed_token_rate_batch_equiv(spark, sf_dir: str,
+                                    window: str = "1 hour") -> DataFrame:
+    """Driver-contract form of :func:`windowed_token_rate`: stream the
+
+    documents table through the watermarked windowed aggregate and
+    return exact integer results.
+
+    Event time is synthesized deterministically (one doc per minute:
+    ``ts = epoch + doc_id * 60 s``) so the same bucketing is
+    SQL-expressible in the DuckDB oracle; token counts are whitespace
+    tokens (empty-string tokens dropped).  Complete output mode settles
+    every window once the bounded stream drains, making the result
+    byte-deterministic; sums are over longs, so no float-order issues.
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: point it at the sf
+    # dir and glob-filter to the one table file
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    ev = stream.select(
+        F.timestamp_seconds(F.col("doc_id") * 60).alias("ts"),
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda t: t != "")).alias("n_tok"))
+    rate = windowed_token_rate(ev, window=window, watermark="2 hours")
+    out = run_stream_to_memory(rate, "windowed_token_rate")
+    return out.select(
+        F.col("win.start").cast("long").alias("win_start_epoch"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("docs").cast("long").alias("docs"))

@@ -61,6 +61,20 @@ def _list_lens(col: pa.Array) -> np.ndarray:
 _FNV_OFFSET = U64(0xCBF29CE484222325)
 
 
+def _shingle_toks_expr(text_col: str):
+    """Whitespace token array for the shingle pipelines, with empty/null
+
+    docs mapped to an EMPTY array: ``F.split('', ' ')`` yields ``[""]``
+    (one empty-string token), which at shingle_n=1 would give every
+    empty doc the same phantom shingle hash — two empty docs would
+    collide at similarity 1.0.  Interior empty tokens (double spaces)
+    are kept so n>1 shingle positions match the SQL oracle's
+    ``string_split`` semantics."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.when(t == "", F.expr("CAST(array() AS array<string>)")) \
+            .otherwise(F.split(t, " "))
+
+
 def _cap_buckets(df: DataFrame, keys: tuple[str, ...],
                  max_bucket: int | None) -> DataFrame:
     """Drop rows in over-sized buckets before a bucket self-join.
@@ -76,6 +90,18 @@ def _cap_buckets(df: DataFrame, keys: tuple[str, ...],
     w = Window.partitionBy(*keys)
     return (df.withColumn("__n", F.count("*").over(w))
               .where(F.col("__n") <= max_bucket).drop("__n"))
+
+
+def oversized_buckets(df: DataFrame, keys: tuple[str, ...],
+                      max_bucket: int) -> DataFrame:
+    """Audit companion to the ``max_bucket`` caps: the buckets a capped
+
+    run would drop, as (keys..., n_rows).  Run it on the same keyed
+    frame (e.g. the banded signatures) to quantify capped recall —
+    ``sum(n*(n-1)/2)`` over the result bounds the lost candidate
+    pairs."""
+    return (df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+              .where(F.col("n_rows") > max_bucket))
 
 
 def _pack_per_doc_distinct(vals: np.ndarray, doc_of: np.ndarray,
@@ -198,14 +224,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             arr = pa.ListArray.from_arrays(offsets, values)
             yield pa.RecordBatch.from_arrays([ids, arr], names=[id_col, "sig"])
 
-    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    toks_expr = _shingle_toks_expr(text_col)
     return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
         fn, f"{id_col} long, sig array<long>")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 32, rows: int = 4,
-                        max_bucket: int | None = 500) -> DataFrame:
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signatures and self-join on (band, band-signature).
 
     Only (band_id, 8-byte band hash, id) rows shuffle.  Output: distinct
@@ -218,7 +244,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     a dropped bucket are still found through any of the other bands
     unless they are near-identical across ALL bands — run exact dedup
     first (dedupe_exact) to remove those, which is the standard pipeline
-    order.  Pass ``max_bucket=None`` to disable.
+    order.  Capping is lossy, so it is OPT-IN (default None = unbounded
+    recall); at web scale SET a cap (e.g. 500) and audit what it drops
+    with :func:`oversized_buckets` on the same signatures.
     """
     def band_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -289,7 +317,7 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
                 [ids, arr, pa.array(counts.astype(np.int32))],
                 names=[id_col, "shs", "n"])
 
-    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    toks_expr = _shingle_toks_expr(text_col)
     return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
         fn, f"{id_col} long, shs array<long>, n int")
 
@@ -396,7 +424,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                 [ids, arr, pa.array(out_counts.astype(np.int32))],
                 names=[id_col, "fingerprints", "n_fp"])
 
-    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    toks_expr = _shingle_toks_expr(text_col)
     return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
         fn, f"{id_col} long, fingerprints array<long>, n_fp int")
 
@@ -513,7 +541,7 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
                   max_hamming: int = 3, n_slices: int = 4,
-                  max_bucket: int | None = 500) -> DataFrame:
+                  max_bucket: int | None = None) -> DataFrame:
     """Hamming-ball pairing over 64-bit simhashes via bit-slice bucketing.
 
     Pigeonhole: two hashes within Hamming distance d differ in <= d of
@@ -559,7 +587,7 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", max_hamming: int = 3,
-                            max_bucket: int | None = 500) -> DataFrame:
+                            max_bucket: int | None = None) -> DataFrame:
     """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
 
     simhash column exists for.  (a, b, hamming) for all pairs within

@@ -66,6 +66,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             except AssertionError as e:
                 print(f"[FAIL vals] {name}: {str(e)[:500]}")
                 ok = False
+            # the driver's hash is typed by KIND: a value-equal float64 vs
+            # int64 column (e.g. DuckDB HUGEINT sums) hash-mismatches,
+            # while int32 vs int64 does not (r02 evidence: rank columns)
+            dt = [(c, str(a[c].dtype), str(b[c].dtype))
+                  for c in a.columns if a[c].dtype.kind != b[c].dtype.kind]
+            if dt:
+                print(f"[WARN dtype] {name}: {dt} "
+                      "(driver typed-hash will mismatch)")
+                ok = False
         if ok:
             print(f"[OK]        {name}: {len(a)} rows match oracle")
         else:
