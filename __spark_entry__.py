@@ -267,6 +267,46 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return hh.select(F.col("t").alias("token_id"), "exact_count", "est_count")
 
 
+def q_cms_point_frequency(spark, sf_dir):
+    """CMS point-frequency with an EXACT-count oracle: at width 2^17 x
+    depth 7 over this vocabulary, P[any probed value overcounts] =
+    sum (d/w)^depth < 1e-4 — and the sketch is a deterministic function
+    of (input, seed), so a locally-verified zero-collision configuration
+    stays exact on the driver.  est >= exact always holds (CMS one-sided
+    error); this query evidences the equality case, the bound itself is
+    pytested."""
+    toks = token_ids(_doc_tokens(spark, sf_dir))
+    res = build(toks.select("token_id"),
+                (SketchSpec("cms", "token_id",
+                            {"width": 1 << 17, "depth": 7}),))
+    from qsketch.spark.agg import with_frequency
+
+    probes = (toks.where(F.length("token") >= 5)
+                  .select("token", "token_id").distinct())
+    return (with_frequency(probes, "token_id",
+                           res.sketches["cms:token_id"].to_bytes(),
+                           "est_count")
+            .select("token", "est_count"))
+
+
+def q_dyadic_nchars_quantiles_by_source_lang(spark, sf_dir):
+    """Two-key grouped quantiles through the sketch engine: the composite
+    (source, lang) key goes through the same map-side-combine grouped
+    build (concat_ws key — no engine change needed), exact in
+    all-exact-levels mode, split back into its parts for the oracle."""
+    from qsketch.spark.queries import grouped_quantiles
+
+    d = _docs(spark, sf_dir).select(
+        F.concat_ws("\x1f", "source", "lang").alias("grp"), "n_chars")
+    merged = build_grouped(
+        d, (SketchSpec("dyadic", "n_chars",
+                       {"domain_bits": 16, "width": 1 << 16}),), "grp")
+    out = grouped_quantiles(merged, [0.25, 0.5, 0.9], "group")
+    parts = F.split(F.col("group"), "\x1f")
+    return out.select(parts.getItem(0).alias("source"),
+                      parts.getItem(1).alias("lang"), "q", "value")
+
+
 def q_cms_heavy_hitters_sketch(spark, sf_dir):
     """Scale path: CMS-only top-k — candidates from per-partition exact
     top-M, counts from the merged CMS; no global exact groupBy anywhere
@@ -401,9 +441,17 @@ def q_qf_remove_membership(spark, sf_dir):
 
     toks = token_ids(_doc_tokens(spark, sf_dir))
     res = build(toks.select("token_id"), (SketchSpec("quotient", "token_id"),))
-    removal = [r["token_id"] for r in
-               toks.where(F.length("token") <= 4)
-                   .select("token_id").distinct().collect()]
+    removal_df = (toks.where(F.length("token") <= 4)
+                      .select("token_id").distinct())
+    # the removal set materializes on the driver (local-remove parity);
+    # fail LOUDLY if a schema/data change ever makes it unbounded —
+    # the distributed form is build_excluding (qf_exclusion_membership)
+    n_removal = removal_df.count()
+    if n_removal > 1_000_000:
+        raise ValueError(
+            f"removal set has {n_removal} ids — too large for the "
+            "local-remove path; use build_excluding instead")
+    removal = [r["token_id"] for r in removal_df.collect()]
     state = remove_keys(res.sketches["quotient:token_id"].to_bytes(), removal)
     probes = token_ids(_probes(spark, sf_dir), "probe", "probe_id")
     return (with_membership(probes, "probe_id", state, "is_member")
@@ -584,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_distinct_parts_exact": q_lineitem_distinct_parts_exact,
         "hll_cardinality": q_hll_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_point_frequency": q_cms_point_frequency,
         "cms_heavy_hitters_sketch": q_cms_heavy_hitters_sketch,
         "hll_vs_builtin": q_hll_vs_builtin,
         "simhash_near_duplicates": q_simhash_near_duplicates,
@@ -592,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
         "dyadic_nchars_quantiles_by_source": q_dyadic_nchars_quantiles_by_source,
+        "dyadic_nchars_quantiles_by_source_lang":
+            q_dyadic_nchars_quantiles_by_source_lang,
         "qf_fpr": q_qf_fpr,
         "exact_dedup_groups": q_exact_dedup_groups,
         "near_duplicates": q_near_duplicates,
@@ -818,6 +869,22 @@ def oracle_sql() -> dict[str, str]:
             " qs(q) AS (VALUES (0.25), (0.5), (0.9))"
             " SELECT source, q, CAST(MIN(x) AS DOUBLE) AS value"
             " FROM qs, w WHERE cum >= ceil(q * n) GROUP BY source, q"),
+        "dyadic_nchars_quantiles_by_source_lang": (
+            "WITH c AS (SELECT source, lang, n_chars AS x, COUNT(*) AS c"
+            "   FROM documents GROUP BY 1, 2, 3),"
+            " w AS (SELECT source, lang, x,"
+            "   SUM(c) OVER (PARTITION BY source, lang ORDER BY x) AS cum,"
+            "   SUM(c) OVER (PARTITION BY source, lang) AS n FROM c),"
+            " qs(q) AS (VALUES (0.25), (0.5), (0.9))"
+            " SELECT source, lang, q, CAST(MIN(x) AS DOUBLE) AS value"
+            " FROM qs, w WHERE cum >= ceil(q * n)"
+            " GROUP BY source, lang, q"),
+        "cms_point_frequency": (
+            # exact counts: CMS is configured collision-free on this
+            # vocabulary (see q_cms_point_frequency), so est == exact
+            _TOKS_CTE +
+            " SELECT token, COUNT(*) AS est_count FROM tok"
+            " WHERE length(token) >= 5 GROUP BY token"),
         "language_id": (
             "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),"
             " ' '), w -> w <> '') AS ws FROM documents),"

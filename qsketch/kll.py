@@ -31,7 +31,7 @@ import struct
 import numpy as np
 
 from .base import KIND_KLL, frame, register, unframe
-from .hash import fnv1a64_bytes
+from .hash import fnv1a64
 
 
 @register(KIND_KLL)
@@ -82,8 +82,12 @@ class KLLSketch:
             keep, c = c[-1:], c[:-1]
         else:
             keep = np.empty(0, dtype=np.float64)
-        # deterministic "coin": content-hash parity instead of RNG
-        offset = fnv1a64_bytes(c.tobytes()) & 1
+        # deterministic "coin": content-hash parity instead of RNG.
+        # XOR-reduce of the VECTORIZED per-element hash — a per-byte
+        # Python hash of c.tobytes() here cost ~100k interpreter ops per
+        # compaction and made KLL the slowest update in the build
+        offset = int(np.bitwise_xor.reduce(
+            fnv1a64(c.view(np.uint64)))) & 1 if len(c) else 0
         promoted = c[offset::2]
         self.compactors[level] = keep
         if level + 1 == len(self.compactors):

@@ -178,7 +178,11 @@ def _flatten_column(batch: pa.RecordBatch, name: str) -> np.ndarray:
 _DEDUP_SCRATCH = np.empty(0, dtype=np.int64)
 
 
-def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+_DOMAIN_CAP = 1 << 22
+
+
+def _dedup(values: np.ndarray,
+           bounded: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """(unique values, counts) — THE scale lever of the partial phase.
 
     Token batches are heavily repetitive (Zipf over a bounded vocab), so
@@ -189,12 +193,21 @@ def _dedup(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     per-worker int64 scratch buffer: np.bincount would otherwise
     allocate a fresh 8B*n cast every batch, and on fault-constrained
     hosts (see session.py) fresh pages are ~100x dearer than warm ones.
+
+    ``bounded=True`` asserts the caller has already PROVEN the values
+    lie in [0, _DOMAIN_CAP) — e.g. from parquet row-group statistics —
+    so the per-batch min/max scans (2 full passes = 8B/token of read
+    traffic on int32 tokens, ~1/3 of the Python side's total) are
+    skipped entirely.
     """
     global _DEDUP_SCRATCH
     if values.dtype.kind in "iu" and values.size:
-        lo = int(values.min())
-        hi = int(values.max())
-        if 0 <= lo and hi < (1 << 22):
+        if bounded:
+            lo, hi = 0, 0
+        else:
+            lo = int(values.min())
+            hi = int(values.max())
+        if bounded or (0 <= lo and hi < _DOMAIN_CAP):
             n = values.size
             if values.dtype == np.intp:
                 counts = np.bincount(values)  # already intp: no cast at all
@@ -234,6 +247,9 @@ class _PartitionAcc:
         self.accs = [_Acc(s) for s in specs]
         self.inputs = sorted({s.input for s in specs})
         self.hash_inputs = {s.input for s in specs if s.kind in _HASH_KINDS}
+        # columns PROVEN in [0, _DOMAIN_CAP) by file metadata (see
+        # _bounded_cols); lets _dedup skip its per-batch min/max scans
+        self.bounded: frozenset[str] = frozenset()
         self.n_rows = 0
         self.n_tokens = 0
         self.t0 = time.perf_counter()
@@ -241,7 +257,8 @@ class _PartitionAcc:
     def consume(self, batch: pa.RecordBatch) -> None:
         self.n_rows += batch.num_rows
         vals = {name: _flatten_column(batch, name) for name in self.inputs}
-        dedup = {name: _dedup(vals[name]) for name in self.hash_inputs}
+        dedup = {name: _dedup(vals[name], name in self.bounded)
+                 for name in self.hash_inputs}
         hashes = {name: fnv1a64(u) for name, (u, _) in dedup.items()}
         if "tokens" in vals:
             self.n_tokens += len(vals["tokens"])
@@ -322,9 +339,38 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     return partials
 
 
+def _bounded_cols(pf, cols: set[str]) -> frozenset[str]:
+    """Columns of ``pf`` PROVEN to lie in [0, _DOMAIN_CAP) by the file's
+
+    own row-group statistics (min/max in every column chunk's footer
+    metadata) — no data scanned, no trust in the caller.  Nested list
+    columns match by path prefix ("tokens.list.element").  A single
+    chunk without stats disqualifies the column."""
+    md = pf.metadata
+    ok: dict[str, bool] = {}
+    seen: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            root = col.path_in_schema.split(".", 1)[0]
+            if root not in cols:
+                continue
+            seen.add(root)
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, int)
+                    or st.min < 0 or st.max >= _DOMAIN_CAP):
+                ok[root] = False
+            else:
+                ok.setdefault(root, True)
+    return frozenset(c for c in seen if ok.get(c, False))
+
+
 def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
                          ckpt_dir: str | None = None,
-                         run_id: str | None = None) -> tuple[DataFrame, int]:
+                         run_id: str | None = None,
+                         parallelism: int | None = None) -> tuple[DataFrame, int]:
     """Phase 1, file-direct variant: distribute parquet FILE paths and let
 
     each task read its files with pyarrow — columnar bytes go straight
@@ -365,7 +411,13 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         for pathbatch in batches:
             for f in pathbatch.column("path").to_pylist():
                 pf = pqr.ParquetFile(f)
-                for batch in pf.iter_batches(batch_size=16384, columns=cols):
+                pacc.bounded = _bounded_cols(pf, pacc.hash_inputs)
+                # use_threads=False: each task owns ONE core (cluster task-slot
+                # semantics); Arrow's default pool would oversubscribe
+                # the executor and corrupt N-vs-4N scaling evidence
+                for batch in pf.iter_batches(batch_size=16384,
+                                             columns=cols,
+                                             use_threads=False):
                     pacc.consume(batch)
         out = pacc.to_record_batch(pid)
         if ckpt_dir is not None:
@@ -373,22 +425,31 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
             return
         yield out
 
-    # parallelize slices evenly: exactly one file per task (repartition's
-    # round-robin can leave tasks empty while others carry two files)
+    # parallelize slices evenly: exactly one file per task by default
+    # (repartition's round-robin can leave tasks empty while others
+    # carry two files).  An explicit ``parallelism`` caps the task count
+    # instead — contiguous file slices per task — which is the
+    # single-box analog of running the same job on fewer executors
+    # (each executor-core simply owns more files), used by the bench's
+    # N-vs-4N scaling evidence.
+    n_tasks = len(files) if parallelism is None else min(parallelism,
+                                                         len(files))
     paths_df = spark.sparkContext.parallelize(
-        [(f,) for f in files], len(files)).toDF(["path"])
+        [(f,) for f in files], n_tasks).toDF(["path"])
     partials = paths_df.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
         return (_materialize_ckpt(partials, spark, ckpt_dir, run_id),
-                len(files))
-    return partials, len(files)
+                n_tasks)
+    return partials, n_tasks
 
 
 def build_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
                 fanin: int = 16, ckpt_dir: str | None = None,
-                run_id: str | None = None) -> BuildResult:
+                run_id: str | None = None,
+                parallelism: int | None = None) -> BuildResult:
     """End-to-end file-direct build (see build_partials_files)."""
-    partials, leaves = build_partials_files(spark, path, specs, ckpt_dir, run_id)
+    partials, leaves = build_partials_files(spark, path, specs, ckpt_dir,
+                                            run_id, parallelism)
     final = _finalize(partials, leaves, fanin)
     sketches = {row["kind"]: base.from_bytes(row["state"]) for row in final}
     return BuildResult(
@@ -614,7 +675,12 @@ def build_grouped_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
         for pathbatch in batches:
             for f in pathbatch.column("path").to_pylist():
                 pf = pqr.ParquetFile(f)
-                for batch in pf.iter_batches(batch_size=16384, columns=cols):
+                # use_threads=False: each task owns ONE core (cluster task-slot
+                # semantics); Arrow's default pool would oversubscribe
+                # the executor and corrupt N-vs-4N scaling evidence
+                for batch in pf.iter_batches(batch_size=16384,
+                                             columns=cols,
+                                             use_threads=False):
                     gacc.consume(batch)
         out = gacc.to_record_batch(pid)
         if out is not None:

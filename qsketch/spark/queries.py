@@ -185,9 +185,37 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
                    "build_ms", "value", "part_cnt"])
 
     n_leaves = df.rdd.getNumPartitions()
-    parts = (df.select(F.col(col).cast("long").alias(col))
-               .mapInArrow(fn, unified)
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    proj = df.select(F.col(col).cast("long").alias(col))
+    if n_leaves <= 256:
+        # ONE job, zero persist: states and candidate rows come back in
+        # the same collect; the <= n_leaves x m candidate aggregation and
+        # the CMS probe are a vectorized driver-side epilogue (same
+        # size-bounded driver finish as _finalize's treeAggregate tail)
+        from .. import base
+
+        rows = (proj.mapInArrow(fn, unified)).collect()
+        st = sorted((r for r in rows if r["state"] is not None),
+                    key=lambda r: r["partition_id"])
+        sk = base.from_bytes(st[0]["state"])
+        for r in st[1:]:
+            sk = sk.merge(base.from_bytes(r["state"]))
+        cvals = np.array([r["value"] for r in rows if r["state"] is None],
+                         dtype=np.int64)
+        ccnts = np.array([r["part_cnt"] for r in rows if r["state"] is None],
+                         dtype=np.int64)
+        uniq, inv = np.unique(cvals, return_inverse=True)
+        lower = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(lower, inv, ccnts)
+        est = sk.estimate(fnv1a64(uniq), pre_hashed=True).astype(np.int64)
+        order = np.lexsort((uniq, -est))[:k]
+        top = [{col: int(uniq[i]), "est_count": int(est[i]),
+                "lower_bound": int(lower[i])} for i in order]
+        return df.sparkSession.createDataFrame(
+            top, f"{col} long, est_count long, lower_bound long")
+    # many-leaf path (cluster scale): tree-merge the states, aggregate
+    # candidates distributed, probe with the broadcast CMS
+    parts = (proj.mapInArrow(fn, unified)
+             .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         states = parts.where(F.col("state").isNotNull()).drop(
             "value", "part_cnt")

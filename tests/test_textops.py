@@ -414,3 +414,40 @@ def test_winnow_fingerprints_guarantee(spark):
     assert not (fp[4] & fp[1])                       # disjoint vocab
     # storage is a fraction of the shingle count
     assert len(fp[1]) < len(a) - 2
+
+
+def test_empty_docs_do_not_collide_at_unigram_shingles(spark):
+    """Two empty (or null) docs must have EMPTY shingle sets — not a
+    shared phantom hash of the empty-string token — so they never pair
+    at similarity 1.0 (round-2 advice)."""
+    from qsketch.spark.textops import (minhash_signatures, near_duplicates,
+                                       shingle_hash_sets)
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, None), (3, "real text here"),
+         (4, "real text here")],
+        "doc_id long, text string")
+    sets = {r["doc_id"]: r["n"] for r in
+            shingle_hash_sets(docs, shingle_n=1).collect()}
+    assert sets[0] == 0 and sets[1] == 0 and sets[2] == 0
+    assert sets[3] == 3
+    pairs = {(r["a"], r["b"]) for r in
+             near_duplicates(docs, shingle_n=1, threshold=0.8).collect()}
+    assert (0, 1) not in pairs and (0, 2) not in pairs
+    assert (3, 4) in pairs
+    # minhash signatures of empty docs stay at the sentinel (no shingle)
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(docs, shingle_n=1).collect()}
+    assert sigs[0] is not None  # emitted, but from zero shingles
+
+
+def test_oversized_buckets_audit(spark):
+    from qsketch.spark.textops import oversized_buckets
+
+    df = spark.createDataFrame(
+        [(b, k, i) for (b, k, n) in [(0, 1, 5), (0, 2, 2), (1, 1, 3)]
+         for i in range(n)],
+        "band int, band_key long, doc_id long")
+    got = {(r["band"], r["band_key"]): r["n_rows"]
+           for r in oversized_buckets(df, ("band", "band_key"), 2).collect()}
+    assert got == {(0, 1): 5, (1, 1): 3}
