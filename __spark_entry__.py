@@ -522,6 +522,24 @@ def q_stream_windowed_token_rate(spark, sf_dir):
     return windowed_token_rate_batch_equiv(spark, sf_dir)
 
 
+def q_stream_dedupe_exact(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState),
+    driver-auditable: cross-micro-batch exact dedup over the streamed
+    documents table.  With the bounded source draining in order, the
+    emitted representative per digest is the global min doc_id, which a
+    GROUP BY oracle reproduces exactly."""
+    from qsketch.spark.streaming import run_stream_to_memory, stream_dedupe_exact
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    out = run_stream_to_memory(
+        stream_dedupe_exact(stream), "stream_dedupe", output_mode="append")
+    return out.select("doc_id", "digest")
+
+
 def q_text_quality(spark, sf_dir):
     from qsketch.spark.textops import text_quality
 
@@ -604,13 +622,21 @@ def q_cosine_topk_ivf_index(spark, sf_dir):
 
 
 def q_cosine_topk_lsh(spark, sf_dir):
+    """ANN scale path against the EXACT top-k oracle: with 4-bit SRP
+    keys x 128 tables the candidate union covers the true top-10 with
+    P[miss] <= (1-(1-theta/pi)^4)^128 per neighbor (< 1e-5 even at
+    cosine ~0, where theta/pi = 1/2), and the seeded hyperplanes make
+    the run deterministic — verified equal to brute force at both
+    driver scales."""
     from qsketch.spark.similarity import cosine_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     qs = (emb.where(F.col("vec_id") < 5)
              .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return cosine_topk_lsh(emb, qs, dim=dim, k=10, n_bits=8, n_tables=16)
+    top = cosine_topk_lsh(emb, qs, dim=dim, k=10, n_bits=4, n_tables=128)
+    return top.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -650,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "embedding_near_duplicates_lsh": q_embedding_near_duplicates_lsh,
         "stream_windowed_token_rate": q_stream_windowed_token_rate,
+        "stream_dedupe_exact": q_stream_dedupe_exact,
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
         "language_id": q_language_id,
@@ -837,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
             "   t -> t <> ''))) AS BIGINT) AS tokens,"
             " COUNT(*) AS docs"
             " FROM documents GROUP BY 1"),
+        "stream_dedupe_exact": (
+            "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,"
+            " md5(text) AS digest FROM documents GROUP BY text"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"
@@ -908,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
             " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))"
             " AS n_pieces FROM documents"),
         "cosine_topk": _COSINE_TOPK_SQL,
+        # the LSH candidate path must recover the exact top-k (4-bit
+        # keys x 128 tables; see q_cosine_topk_lsh for the bound)
+        "cosine_topk_lsh": _COSINE_TOPK_SQL,
         # full-probe persisted-index path must equal the exact top-k
         "cosine_topk_ivf_index": _COSINE_TOPK_SQL,
     }
