@@ -262,9 +262,25 @@ def q_hll_cardinality(spark, sf_dir):
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
+    """Exact-candidate heavy hitters, ORACLE-CHECKED end to end: the CMS
+    estimate column equals the exact count because 31 distinct keys in a
+    27183x7 table cannot min-collide (P ~ (d/w)^depth, deterministic per
+    seed — verified at both driver scales).  Candidates are taken with
+    k far above the vocabulary and the final top-20 ordered on (count
+    desc, token) so DuckDB reproduces the cut exactly — token ids are
+    xxhash64 and would not be SQL-expressible as a tie-break."""
+    from qsketch.spark.agg import with_frequency
+
     toks = token_ids(_doc_tokens(spark, sf_dir)).select("token_id", "token")
-    hh = heavy_hitters(toks.select(F.col("token_id").alias("t")), "t", k=20)
-    return hh.select(F.col("t").alias("token_id"), "exact_count", "est_count")
+    res = build(toks.select("token_id"), (SketchSpec("cms", "token_id"),))
+    exact_top = (toks.groupBy("token", "token_id")
+                     .agg(F.count("*").alias("exact_count"))
+                     .orderBy(F.desc("exact_count"), F.asc("token"))
+                     .limit(20))
+    return (with_frequency(exact_top, "token_id",
+                           res.sketches["cms:token_id"].to_bytes(),
+                           "est_count")
+            .select("token", "exact_count", "est_count"))
 
 
 def q_cms_point_frequency(spark, sf_dir):
@@ -308,15 +324,23 @@ def q_dyadic_nchars_quantiles_by_source_lang(spark, sf_dir):
 
 
 def q_cms_heavy_hitters_sketch(spark, sf_dir):
-    """Scale path: CMS-only top-k — candidates from per-partition exact
-    top-M, counts from the merged CMS; no global exact groupBy anywhere
-    (rows-only; recall vs the exact path asserted in pytest)."""
+    """Scale path, ORACLE-CHECKED: CMS-only top-k — candidates from
+    per-partition exact top-M, counts from the merged CMS; no global
+    exact groupBy anywhere.  At driver scale the oracle is EXACT:
+    M = 8k exceeds the vocabulary (every value is a candidate in every
+    partition it appears in, so lower_bound = exact count) and 31 keys
+    cannot min-collide in a 27183x7 CMS (est_count = exact count);
+    recall vs the exact path at web-scale vocab is the pytest.  Final
+    top-20 ordered on (est desc, token) so DuckDB reproduces the cut."""
     from qsketch.spark.queries import heavy_hitters_sketch
 
-    toks = token_ids(_doc_tokens(spark, sf_dir)).select(
-        F.col("token_id").alias("t"))
-    return heavy_hitters_sketch(toks, "t", k=20).select(
-        F.col("t").alias("token_id"), "est_count", "lower_bound")
+    all_toks = token_ids(_doc_tokens(spark, sf_dir))
+    hh = heavy_hitters_sketch(
+        all_toks.select(F.col("token_id").alias("t")), "t", k=100_000)
+    names = all_toks.select("token", "token_id").distinct()
+    return (hh.join(names, hh["t"] == names["token_id"])
+              .select("token", "est_count", "lower_bound")
+              .orderBy(F.desc("est_count"), F.asc("token")).limit(20))
 
 
 def q_hll_vs_builtin(spark, sf_dir):
@@ -915,6 +939,23 @@ def oracle_sql() -> dict[str, str]:
             _TOKS_CTE +
             " SELECT token, COUNT(*) AS est_count FROM tok"
             " WHERE length(token) >= 5 GROUP BY token"),
+        "cms_heavy_hitters": (
+            # est_count == exact: 31 keys cannot min-collide in a
+            # 27183x7 CMS (see q_cms_heavy_hitters)
+            _TOKS_CTE +
+            ", c AS (SELECT token, COUNT(*) AS cnt FROM tok"
+            "   GROUP BY token)"
+            " SELECT token, cnt AS exact_count, cnt AS est_count"
+            " FROM c ORDER BY cnt DESC, token LIMIT 20"),
+        "cms_heavy_hitters_sketch": (
+            # lower_bound == exact (M > vocab: every value is a
+            # candidate wherever it appears); est_count == exact
+            # (collision-free CMS) — see q_cms_heavy_hitters_sketch
+            _TOKS_CTE +
+            ", c AS (SELECT token, COUNT(*) AS cnt FROM tok"
+            "   GROUP BY token)"
+            " SELECT token, cnt AS est_count, cnt AS lower_bound"
+            " FROM c ORDER BY cnt DESC, token LIMIT 20"),
         "language_id": (
             "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),"
             " ' '), w -> w <> '') AS ws FROM documents),"

@@ -111,3 +111,25 @@ def test_multilevel_partition_pruning_and_file_skipping(
     everything = {r[0] for r in spark.read.parquet(p)
                   .select(F.input_file_name()).distinct().collect()}
     assert len(opened) < len(everything)
+
+
+def test_catalog_table_partition_pruning(spark, tmp_path_factory):
+    """Catalog-backed tables (the Iceberg deployment shape minus the
+    absent runtime jars): a partitioned managed table registered in the
+    session catalog, read through read_tokenized (which prefers catalog
+    tables), must partition-prune exactly like the path-based read."""
+    from qsketch.spark.io import generate_tokenized, read_tokenized
+
+    (generate_tokenized(spark, 1000, seed=3, num_partitions=4)
+     .write.partitionBy("source").mode("overwrite")
+     .saveAsTable("qsketch_cat_tab"))
+    try:
+        df = (read_tokenized(spark, "qsketch_cat_tab")
+              .where(F.col("source") == "web").select("tokens"))
+        plan = _plan(df)
+        assert "PartitionFilters" in plan and "web" in plan, plan
+        opened = {r[0] for r in
+                  df.select(F.input_file_name()).distinct().collect()}
+        assert opened and all("source=web" in f for f in opened), opened
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsketch_cat_tab")
