@@ -336,7 +336,8 @@ def q_cms_heavy_hitters_sketch(spark, sf_dir):
 
     all_toks = token_ids(_doc_tokens(spark, sf_dir))
     hh = heavy_hitters_sketch(
-        all_toks.select(F.col("token_id").alias("t")), "t", k=100_000)
+        all_toks.select(F.col("token_id").alias("t")), "t", k=100_000,
+        candidates_per_partition=4096)
     names = all_toks.select("token", "token_id").distinct()
     return (hh.join(names, hh["t"] == names["token_id"])
               .select("token", "est_count", "lower_bound")
@@ -468,14 +469,16 @@ def q_qf_remove_membership(spark, sf_dir):
     removal_df = (toks.where(F.length("token") <= 4)
                       .select("token_id").distinct())
     # the removal set materializes on the driver (local-remove parity);
-    # fail LOUDLY if a schema/data change ever makes it unbounded —
-    # the distributed form is build_excluding (qf_exclusion_membership)
-    n_removal = removal_df.count()
-    if n_removal > 1_000_000:
+    # fail LOUDLY if a schema/data change ever makes it unbounded — the
+    # distributed form is build_excluding (qf_exclusion_membership).
+    # limit(cap+1) keeps the guard to ONE job with bounded memory
+    cap = 1_000_000
+    rows = removal_df.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
-            f"removal set has {n_removal} ids — too large for the "
+            f"removal set exceeds {cap} ids — too large for the "
             "local-remove path; use build_excluding instead")
-    removal = [r["token_id"] for r in removal_df.collect()]
+    removal = [r["token_id"] for r in rows]
     state = remove_keys(res.sketches["quotient:token_id"].to_bytes(), removal)
     probes = token_ids(_probes(spark, sf_dir), "probe", "probe_id")
     return (with_membership(probes, "probe_id", state, "is_member")

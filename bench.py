@@ -236,7 +236,6 @@ def main() -> None:
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t
-    spin[8] = _spin_control(spark, 8)
     spark.stop()
 
     # ---- scaling: the SAME job at task-parallelism 2 vs 8 inside ONE
@@ -301,7 +300,6 @@ def main() -> None:
         spreads[f"tasks{par}"] = [round(x, 3) for x in sorted(times[par])]
         tput[f"tasks{par}"] = n_tok_by[par] / _med(times[par])
         queries[f"build_all_sketches_tasks{par}"] = _med(times[par])
-    extras["tokens_per_sec"] = n_tokens / _med(spread8)
 
     def _effs(lo: int, hi: int, xs: dict[int, list[float]],
               invert: bool = False) -> list[float]:

@@ -186,7 +186,10 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
 
     n_leaves = df.rdd.getNumPartitions()
     proj = df.select(F.col(col).cast("long").alias(col))
-    if n_leaves <= 256:
+    # fused path only when the worst-case collected candidate count
+    # (n_leaves x m) is genuinely driver-sized — a large k would
+    # otherwise turn the "bounded driver finish" into a driver OOM
+    if n_leaves <= 256 and n_leaves * m <= (1 << 22):
         # ONE job, zero persist: states and candidate rows come back in
         # the same collect; the <= n_leaves x m candidate aggregation and
         # the CMS probe are a vectorized driver-side epilogue (same

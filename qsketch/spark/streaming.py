@@ -291,7 +291,15 @@ def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # detach the result from the memory sink so the temp view (a fully
+    # materialized copy held by the driver) can be dropped — repeated
+    # calls would otherwise retain one result table per run for the
+    # session's lifetime
+    table = spark.table(name)
+    rows = table.collect()
+    schema = table.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def windowed_token_rate_batch_equiv(spark, sf_dir: str,
@@ -319,7 +327,9 @@ def windowed_token_rate_batch_equiv(spark, sf_dir: str,
               .parquet(sf_dir))
     ev = stream.select(
         F.timestamp_seconds(F.col("doc_id") * 60).alias("ts"),
-        F.size(F.filter(F.split(F.col("text"), " "),
+        # coalesce: size(split(NULL)) is -1 under the legacy sizeOfNull
+        # default and would corrupt the token sum for null-text rows
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
                         lambda t: t != "")).alias("n_tok"))
     rate = windowed_token_rate(ev, window=window, watermark="2 hours")
     out = run_stream_to_memory(rate, "windowed_token_rate")

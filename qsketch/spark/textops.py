@@ -249,6 +249,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     with :func:`oversized_buckets` on the same signatures.
     """
     def band_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        maxu = np.iinfo(np.uint64).max
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -257,6 +258,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
             sig = (scol.flatten().to_numpy(zero_copy_only=False)
                    .astype(np.int64, copy=False).view(np.uint64)
                    .reshape(len(scol), -1))
+            # drop shingle-less docs (sentinel all-max signature): they
+            # are near-dups of nothing, and at web scale millions of
+            # empty docs would otherwise share ONE bucket in every band
+            # and drive the self-join quadratic with no max_bucket set
+            real = ~(sig == maxu).all(axis=1)
+            if not real.all():
+                ids, sig = ids[real], sig[real]
+            if not len(ids):
+                continue
             out_ids, out_band, out_key = [], [], []
             for b in range(bands):
                 chunk = sig[:, b * rows:(b + 1) * rows]
@@ -364,7 +374,7 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     miss probability at sim>=0.8 is <1e-7, so the output matches the
     exact O(n^2) Jaccard join while scaling as O(candidates).
 
-    ``max_bucket`` defaults to None here (unlike lsh_candidate_pairs)
+    ``max_bucket`` defaults to None (like every cap in this module)
     because a cap can silently drop true pairs when a large cluster of
     SIMILAR-but-not-identical docs floods every band (exact dedup does
     not remove those) — that would break this function's exact-match
@@ -533,8 +543,12 @@ def simhash(df: DataFrame, text_col: str = "text",
                 s = np.bincount(doc_of, weights=bit, minlength=n_docs)
                 # acc = (+1)*s + (-1)*(tot-s) = 2s - tot ; bit set if > 0
                 out |= ((2.0 * s - tot) > 0).astype(np.uint64) << U64(b)
+            # token-less docs have no signal: emit NULL, not hash 0 —
+            # a shared fake hash would bucket every empty doc into one
+            # Hamming-0 cluster in simhash_pairs (quadratic at scale)
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out.view(np.int64))], names=[id_col, "simhash"])
+                [ids, pa.array(out.view(np.int64), mask=lens == 0)],
+                names=[id_col, "simhash"])
 
     toks_expr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                          lambda t: t != "")
@@ -567,7 +581,9 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
                  F.shiftrightunsigned(F.col("simhash"), i * width)
                  .bitwiseAND(F.lit(mask)).alias("slice_val"))
         for i in range(n_slices)])
-    sliced = (sh_df.select(id_col, "simhash", F.explode(slices).alias("s"))
+    # NULL simhash = token-less doc (see simhash()): no signal, no pairs
+    sliced = (sh_df.where(F.col("simhash").isNotNull())
+                   .select(id_col, "simhash", F.explode(slices).alias("s"))
                    .select(id_col, "simhash",
                            F.col("s.slice").alias("slice"),
                            F.col("s.slice_val").alias("slice_val")))

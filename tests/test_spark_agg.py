@@ -374,13 +374,14 @@ def test_build_files_parallelism_levels_byte_identical(spark, tiny_df,
     tiny_df.repartition(8).write.parquet(p)
     specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"),
              SketchSpec("cms", "tokens"), SketchSpec("bloom", "tokens"))
-    states = {}
+    states, n_toks = {}, {}
     for par in (None, 1, 2, 8):
         res = build_files(spark, p, specs, parallelism=par)
         states[par] = {k: sk.to_bytes() for k, sk in res.sketches.items()}
-        assert res.n_tokens == states.setdefault("n", res.n_tokens) or True
+        n_toks[par] = res.n_tokens
     for par in (1, 2, 8):
         assert states[par] == states[None], f"parallelism={par} diverged"
+        assert n_toks[par] == n_toks[None], f"parallelism={par} n_tokens"
 
 
 def test_stats_bounded_dedup_matches_scan_path(spark, tiny_df, tmp_path):
