@@ -133,3 +133,33 @@ def test_catalog_table_partition_pruning(spark, tmp_path_factory):
         assert opened and all("source=web" in f for f in opened), opened
     finally:
         spark.sql("DROP TABLE IF EXISTS qsketch_cat_tab")
+
+
+def test_lsh_paths_have_no_cartesian_product(spark):
+    """The candidate-generation scale paths must be bucket JOINS, never
+    cartesian products — the difference between O(n^2) and O(collisions)
+    at 100 TB.  (The exact embedding path is intentionally a crossJoin
+    and is excluded.)"""
+    import numpy as np
+
+    from qsketch.spark.similarity import embedding_near_duplicates
+    from qsketch.spark.textops import (lsh_candidate_pairs,
+                                       minhash_signatures,
+                                       simhash, simhash_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common tokens here for shingles {i}")
+         for i in range(20)], "doc_id long, text string")
+    plans = {
+        "minhash_lsh": _plan(lsh_candidate_pairs(minhash_signatures(docs))),
+        "simhash": _plan(simhash_pairs(simhash(docs))),
+    }
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.normal(size=(20, 8)))],
+        "vec_id long, embedding array<double>")
+    plans["embedding_lsh"] = _plan(embedding_near_duplicates(
+        emb, method="lsh", dim=8))
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name}: cartesian!"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NL join!"

@@ -439,6 +439,18 @@ def test_empty_docs_do_not_collide_at_unigram_shingles(spark):
     sigs = {r["doc_id"]: r["sig"] for r in
             minhash_signatures(docs, shingle_n=1).collect()}
     assert sigs[0] is not None  # emitted, but from zero shingles
+    # ... and the banding step drops sentinel signatures, so empty docs
+    # generate NO candidate pairs even with no bucket cap
+    from qsketch.spark.textops import lsh_candidate_pairs, simhash
+
+    cands = {(r["a"], r["b"]) for r in
+             lsh_candidate_pairs(minhash_signatures(docs, shingle_n=1))
+             .collect()}
+    assert all(a not in (0, 1, 2) and b not in (0, 1, 2)
+               for a, b in cands), cands
+    # simhash: token-less docs emit NULL, not a shared fake hash 0
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] is None and sh[2] is None and sh[3] is not None
 
 
 def test_oversized_buckets_audit(spark):
