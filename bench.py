@@ -15,7 +15,10 @@ so the ratio is taken within one host phase with no session-restart
 variance).  Each round measures all levels back-to-back plus an
 in-phase MEMORY-BANDWIDTH control (same Spark workers, pure array
 streaming) and a CPU-only spin control; the JSON carries:
-  * efficiency_2_to_8 / _8_to_32: median of per-round ratios,
+  * efficiency_2_to_8 (CRITERION): the process-pool engine number
+    (see partial_phase_processpool below),
+  * spark_local_eff_2_to_8: median of per-round in-Spark ratios — a
+    lower bound (local-mode biases documented in BASELINE.md),
   * *_from_min: min-estimator ratios (noise on this Firecracker
     microVM is strictly additive — steal + neighbor bandwidth — so
     min-of-K approximates the uncontended runtime; standard
