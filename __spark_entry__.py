@@ -538,6 +538,27 @@ def q_embedding_near_duplicates_lsh(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_multimodal_payload_metadata(spark, sf_dir):
+    """Multimodal binary-column plumbing, ORACLE-CHECKED: document text
+    re-encoded as opaque binary payloads flows through the real
+    Arrow-batched extract_features stage (mapInArrow, stub codec), and
+    the SQL-expressible outputs — payload byte length from the Python
+    side, md5 checksum JVM-side over the same binary column — are
+    checked against DuckDB octet_length(encode(text)) / md5(text).
+    The feature vector itself stays pytest-verified (FNV-derived, not
+    SQL-expressible)."""
+    from qsketch.spark.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("opaque").alias("media_type"))
+    feats = extract_features(media).select("media_id", "payload_bytes")
+    sums = media.select("media_id", F.md5("payload").alias("checksum"))
+    return feats.join(sums, "media_id").select(
+        "media_id", "payload_bytes", "checksum")
+
+
 def q_stream_windowed_token_rate(spark, sf_dir):
     """Streaming category, driver-auditable: documents streamed through a
     real Structured Streaming query (watermarked event-time window agg,
@@ -690,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vs_builtin": q_hll_vs_builtin,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "multimodal_features": q_multimodal_features,
+        "multimodal_payload_metadata": q_multimodal_payload_metadata,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
@@ -894,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe_exact": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,"
             " md5(text) AS digest FROM documents GROUP BY text"),
+        "multimodal_payload_metadata": (
+            "SELECT doc_id AS media_id,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,"
+            " md5(text) AS checksum FROM documents"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"
