@@ -430,3 +430,24 @@ def test_heavy_hitters_sketch_rejects_string_column(spark):
     df = spark.createDataFrame([("a",), ("b",)], "t string")
     with pytest.raises(TypeError, match="integer column"):
         heavy_hitters_sketch(df, "t", k=2)
+
+
+def test_build_large_domain_tokens_uses_sort_dedup(spark):
+    """Tokens far outside the bincount domain (>= 2^22, e.g. 64-bit
+    vocab ids) must route through the np.unique fallback and still give
+    exact QF cardinality — the web-scale-vocabulary path."""
+    import pyarrow as pa
+
+    from qsketch.spark.agg import SketchSpec, build
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(1 << 40, 1 << 62, size=20_000, dtype=np.int64)
+    rows = [(int(i), vals[i * 20:(i + 1) * 20].tolist())
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    res = build(df, (SketchSpec("quotient", "tokens"),
+                     SketchSpec("hll", "tokens")))
+    exact = len(np.unique(vals))
+    assert res.sketches["quotient:tokens"].cardinality() == exact
+    est = res.sketches["hll:tokens"].estimate()
+    assert abs(est - exact) / exact < 0.05
