@@ -538,6 +538,25 @@ def q_embedding_near_duplicates_lsh(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_build_lineage_totals(spark, sf_dir):
+    """The build's per-partition lineage metrics (north rule: 'per-
+    partition lineage + metrics'), driver-auditable: partial states
+    carry (n_rows, n_tokens) per partition; their sums must equal the
+    exact document and token-occurrence counts regardless of
+    partitioning.  build_ms is checked for presence/positivity only
+    (wall time is not an oracle quantity)."""
+    from qsketch.spark.agg import build_partials
+
+    d = _docs(spark, sf_dir).select(
+        F.transform(F.filter(F.split("text", " "), lambda t: t != ""),
+                    lambda t: F.xxhash64(t)).alias("tokens"))
+    partials = build_partials(d, (SketchSpec("quotient", "tokens"),))
+    return partials.agg(
+        F.sum("n_rows").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.min("build_ms") > 0).alias("all_partitions_timed"))
+
+
 def q_multimodal_payload_metadata(spark, sf_dir):
     """Multimodal binary-column plumbing, ORACLE-CHECKED: document text
     re-encoded as opaque binary payloads flows through the real
@@ -712,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "multimodal_features": q_multimodal_features,
         "multimodal_payload_metadata": q_multimodal_payload_metadata,
+        "build_lineage_totals": q_build_lineage_totals,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
@@ -920,6 +940,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id,"
             " CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,"
             " md5(text) AS checksum FROM documents"),
+        "build_lineage_totals": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(len(list_filter(string_split(text, ' '),"
+            "   t -> t <> ''))) AS BIGINT) AS n_tokens,"
+            " TRUE AS all_partitions_timed FROM documents"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"
