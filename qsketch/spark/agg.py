@@ -231,6 +231,37 @@ def _ckpt_file(ckpt_dir: str, run_id: str, pid: int) -> str:
     return os.path.join(ckpt_dir, run_id, f"state-{pid:08d}.parquet")
 
 
+def _pin_ckpt_slicing(ckpt_dir: str, run_id: str, meta: dict) -> None:
+    """A resume MUST reuse the same input slicing: partition ids name
+
+    the per-partition state files, so resuming e.g. 8-task states with
+    a 2-task run would mark tasks 0-1 'done' even though they now cover
+    DIFFERENT input slices — silently dropping data.  The slicing is
+    pinned in ``_slicing.json`` (leading underscore: Spark's parquet
+    reader ignores it) on first run; a mismatched resume fails loudly.
+    """
+    meta_path = os.path.join(ckpt_dir, run_id, "_slicing.json")
+    import json as _json
+
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev = _json.load(fh)
+        if prev != meta:
+            raise ValueError(
+                f"checkpoint {run_id!r} was written with slicing "
+                f"{ {k: (len(v) if isinstance(v, list) else v) for k, v in prev.items()} }; "
+                f"this run has "
+                f"{ {k: (len(v) if isinstance(v, list) else v) for k, v in meta.items()} } "
+                "— resuming would mis-map partition states to input "
+                "slices. Use a new run_id.")
+        return
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
 def _materialize_ckpt(partials: DataFrame, spark: SparkSession,
                       ckpt_dir: str, run_id: str) -> DataFrame:
     """Force the tasks' side-effect state commits (noop sink), then read
@@ -333,6 +364,11 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
         # states from the same dir — demand an explicit identity
         raise ValueError("ckpt_dir requires an explicit run_id")
     fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
+    if ckpt_dir is not None:
+        # weaker than the file-direct pin (a DataFrame's content is not
+        # enumerable here) but catches the common repartition footgun
+        _pin_ckpt_slicing(ckpt_dir, run_id,
+                          {"n_tasks": proj.rdd.getNumPartitions()})
     partials = proj.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
         return _materialize_ckpt(partials, df.sparkSession, ckpt_dir, run_id)
@@ -434,6 +470,9 @@ def build_partials_files(spark: SparkSession, path: str, specs=DEFAULT_SPECS,
     # N-vs-4N scaling evidence.
     n_tasks = len(files) if parallelism is None else min(parallelism,
                                                          len(files))
+    if ckpt_dir is not None:
+        _pin_ckpt_slicing(ckpt_dir, run_id,
+                          {"n_tasks": n_tasks, "files": files})
     paths_df = spark.sparkContext.parallelize(
         [(f,) for f in files], n_tasks).toDF(["path"])
     partials = paths_df.mapInArrow(fn, STATE_SCHEMA)
@@ -643,6 +682,8 @@ def build_grouped(df: DataFrame, specs=DEFAULT_SPECS, group_col: str = "source",
             yield out
 
     num_parts = proj.rdd.getNumPartitions()
+    if ckpt_dir is not None:
+        _pin_ckpt_slicing(ckpt_dir, run_id, {"n_tasks": num_parts})
     partials = proj.mapInArrow(fn, GROUP_STATE_SCHEMA)
     if ckpt_dir is not None:
         partials = _materialize_ckpt(partials, df.sparkSession,

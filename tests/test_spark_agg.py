@@ -153,8 +153,9 @@ def test_checkpoint_resume_byte_identical(spark, tmp_path):
     uninterrupted = build(df, specs).sketches["quotient:tokens"].to_bytes()
 
     r1 = build(df, specs, ckpt_dir=ck, run_id="run1")
-    files = sorted(os.listdir(os.path.join(ck, "run1")))
-    assert len(files) == 4 and all(f.startswith("state-") for f in files)
+    files = sorted(f for f in os.listdir(os.path.join(ck, "run1"))
+                   if f.startswith("state-"))
+    assert len(files) == 4
     # simulate a crash that lost two partitions
     for f in files[:2]:
         os.remove(os.path.join(ck, "run1", f))
@@ -451,3 +452,32 @@ def test_build_large_domain_tokens_uses_sort_dedup(spark):
     assert res.sketches["quotient:tokens"].cardinality() == exact
     est = res.sketches["hll:tokens"].estimate()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_ckpt_resume_rejects_changed_slicing(spark, tiny_df, tmp_path):
+    """Resuming a checkpoint with a different task slicing must fail
+    loudly: partition ids name the state files, so a resliced resume
+    would mark tasks done over DIFFERENT input slices (silent data
+    loss)."""
+    from qsketch.spark.agg import build_files
+
+    p = str(tmp_path / "cktok")
+    tiny_df.repartition(8).write.parquet(p)
+    ck = str(tmp_path / "ck")
+    specs = (SketchSpec("quotient", "tokens"),)
+    build_files(spark, p, specs, ckpt_dir=ck, run_id="r1", parallelism=8)
+    with pytest.raises(ValueError, match="mis-map"):
+        build_files(spark, p, specs, ckpt_dir=ck, run_id="r1",
+                    parallelism=2)
+    # same slicing resumes fine and stays byte-identical
+    a = build_files(spark, p, specs, ckpt_dir=ck, run_id="r1",
+                    parallelism=8)
+    b = build_files(spark, p, specs)
+    assert (a.sketches["quotient:tokens"].to_bytes()
+            == b.sketches["quotient:tokens"].to_bytes())
+    # DataFrame path: repartitioned resume is rejected too
+    ck2 = str(tmp_path / "ck2")
+    build_partials(tiny_df, specs, ckpt_dir=ck2, run_id="r2").collect()
+    with pytest.raises(ValueError, match="mis-map"):
+        build_partials(tiny_df.repartition(3), specs,
+                       ckpt_dir=ck2, run_id="r2").collect()
