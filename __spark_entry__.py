@@ -538,6 +538,17 @@ def q_embedding_near_duplicates_lsh(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_sample_docs_per_source(spark, sf_dir):
+    """Deterministic per-group curation sampling ("take n docs per
+    source"), oracle-checked: rank by md5(doc_id#seed) is uniform over
+    ids AND reproducible in DuckDB, unlike rand()-based sampling."""
+    from qsketch.spark.textops import deterministic_sample_per_group
+
+    return (deterministic_sample_per_group(
+                _docs(spark, sf_dir), "source", n=5)
+            .select("source", "doc_id", "sample_rank"))
+
+
 def q_build_lineage_totals(spark, sf_dir):
     """The build's per-partition lineage metrics (north rule: 'per-
     partition lineage + metrics'), driver-auditable: partial states
@@ -732,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_payload_metadata": q_multimodal_payload_metadata,
         "build_lineage_totals": q_build_lineage_totals,
+        "sample_docs_per_source": q_sample_docs_per_source,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
@@ -945,6 +957,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(len(list_filter(string_split(text, ' '),"
             "   t -> t <> ''))) AS BIGINT) AS n_tokens,"
             " TRUE AS all_partitions_timed FROM documents"),
+        "sample_docs_per_source": (
+            "WITH r AS (SELECT source, doc_id,"
+            "   CAST(row_number() OVER (PARTITION BY source"
+            "     ORDER BY md5(doc_id || '#qsketch'), doc_id)"
+            "   AS INT) AS sample_rank FROM documents)"
+            " SELECT source, doc_id, sample_rank FROM r"
+            " WHERE sample_rank <= 5"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"

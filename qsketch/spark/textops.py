@@ -690,3 +690,30 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text",
     return df.select(id_col,
                      F.size(words).alias("n_words"),
                      pieces.cast("long").alias("n_pieces"))
+
+
+# ---------------- curation sampling ----------------------------------------
+
+
+def deterministic_sample_per_group(df: DataFrame, group_col: str,
+                                   n: int, id_col: str = "doc_id",
+                                   seed: str = "qsketch") -> DataFrame:
+    """Reproducible uniform-without-replacement sample of ``n`` rows per
+
+    group — the training-data curation primitive ("take 100k docs per
+    source") made DETERMINISTIC: rows are ranked inside each group by
+    md5(id || '#' || seed), which is uniform over ids and identical
+    across runs, partitionings, and engines (md5 is SQL-standard, so
+    the sample is oracle-checkable — unlike rand()-based sampling).
+
+    Scale shape: one shuffle on the group key for the rank window; at
+    100 TB the per-group sort is the standard top-n-per-group plan and
+    AQE handles group skew.  Changing ``seed`` redraws the sample.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                            F.lit(seed)))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+              .where(F.col("sample_rank") <= n))

@@ -463,3 +463,27 @@ def test_oversized_buckets_audit(spark):
     got = {(r["band"], r["band_key"]): r["n_rows"]
            for r in oversized_buckets(df, ("band", "band_key"), 2).collect()}
     assert got == {(0, 1): 5, (1, 1): 3}
+
+
+def test_deterministic_sample_per_group(spark):
+    from qsketch.spark.textops import deterministic_sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "code"][i % 3]) for i in range(300)],
+        "doc_id long, source string")
+    a = deterministic_sample_per_group(df, "source", n=10)
+    b = deterministic_sample_per_group(df.repartition(7), "source", n=10)
+    rows_a = {(r["source"], r["doc_id"], r["sample_rank"])
+              for r in a.collect()}
+    rows_b = {(r["source"], r["doc_id"], r["sample_rank"])
+              for r in b.collect()}
+    assert rows_a == rows_b            # partitioning-independent
+    assert len(rows_a) == 30           # n per group
+    per = {}
+    for s, d, r in rows_a:
+        per.setdefault(s, set()).add(r)
+    assert all(v == set(range(1, 11)) for v in per.values())
+    # a different seed redraws the sample
+    c = {(r["source"], r["doc_id"]) for r in deterministic_sample_per_group(
+        df, "source", n=10, seed="other").collect()}
+    assert c != {(s, d) for s, d, _ in rows_a}
