@@ -549,6 +549,18 @@ def q_sample_docs_per_source(spark, sf_dir):
             .select("source", "doc_id", "sample_rank"))
 
 
+def q_mix_sources(spark, sf_dir):
+    """Training-mixture subsampling ("keep 30% of src0/src1, all the
+    rest"), oracle-checked: the per-row keep decision is a pure function
+    of (doc_id, seed) via an md5 hex threshold, so DuckDB reproduces the
+    exact surviving row set."""
+    from qsketch.spark.textops import subsample_sources
+
+    out = subsample_sources(_docs(spark, sf_dir),
+                            {"src0": 0.3, "src1": 0.3})
+    return out.select("doc_id", "source")
+
+
 def q_build_lineage_totals(spark, sf_dir):
     """The build's per-partition lineage metrics (north rule: 'per-
     partition lineage + metrics'), driver-auditable: partial states
@@ -744,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload_metadata": q_multimodal_payload_metadata,
         "build_lineage_totals": q_build_lineage_totals,
         "sample_docs_per_source": q_sample_docs_per_source,
+        "mix_sources": q_mix_sources,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
         "dyadic_nchars_quantiles": q_dyadic_nchars_quantiles,
@@ -964,6 +977,12 @@ def oracle_sql() -> dict[str, str]:
             "   AS INT) AS sample_rank FROM documents)"
             " SELECT source, doc_id, sample_rank FROM r"
             " WHERE sample_rank <= 5"),
+        "mix_sources": (
+            # 0.3 * 16^8 = 0x4ccccccc; 'g' sorts above all hex = keep all
+            "SELECT doc_id, source FROM documents"
+            " WHERE substring(md5(doc_id || '#qsketch'), 1, 8)"
+            "   < CASE WHEN source IN ('src0', 'src1')"
+            "          THEN '4ccccccc' ELSE 'g' END"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"

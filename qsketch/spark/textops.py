@@ -717,3 +717,42 @@ def deterministic_sample_per_group(df: DataFrame, group_col: str,
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
     return (df.withColumn("sample_rank", F.row_number().over(w))
               .where(F.col("sample_rank") <= n))
+
+
+def subsample_sources(df: DataFrame, fractions: dict[str, float],
+                      source_col: str = "source", id_col: str = "doc_id",
+                      default_fraction: float = 1.0,
+                      seed: str = "qsketch") -> DataFrame:
+    """Dataset mixing: keep a deterministic ``fractions[source]`` share
+
+    of each source's rows — the training-mixture primitive ("50% web,
+    all books") made reproducible AND engine-checkable: a row survives
+    iff md5(id || '#' || seed) is lexicographically below the
+    fraction's 8-hex-digit threshold (md5 hex is uniform, so string
+    order == numeric order; the same predicate evaluates identically
+    in any SQL engine — rand()-based sampleBy cannot be
+    oracle-checked).
+
+    Scale shape: a broadcast join against the tiny fractions dim + one
+    narrow filter — no shuffle of the fact table.  Exactly-proportional
+    per-source counts are not guaranteed (it is a per-row Bernoulli
+    draw), but the draw is a pure function of (id, seed).
+    """
+    def thr(f: float) -> str:
+        # 'g' sorts above every hex digit, so fraction >= 1 keeps all;
+        # a numeric 16^8 threshold would render as 9 chars starting '1'
+        # and lexicographically UNDERCUT most md5 prefixes
+        if f >= 1.0:
+            return "g"
+        return format(max(int(f * 16**8), 0), "08x")
+
+    spark = df.sparkSession
+    rows = [(s, thr(f)) for s, f in fractions.items()]
+    dim = spark.createDataFrame(rows, f"{source_col} string, __thr string")
+    default_thr = thr(default_fraction)
+    key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                            F.lit(seed)))
+    return (df.join(F.broadcast(dim), source_col, "left")
+              .where(F.substring(key, 1, 8)
+                     < F.coalesce(F.col("__thr"), F.lit(default_thr)))
+              .drop("__thr"))

@@ -487,3 +487,26 @@ def test_deterministic_sample_per_group(spark):
     c = {(r["source"], r["doc_id"]) for r in deterministic_sample_per_group(
         df, "source", n=10, seed="other").collect()}
     assert c != {(s, d) for s, d, _ in rows_a}
+
+
+def test_subsample_sources_mixture(spark):
+    from qsketch.spark.textops import subsample_sources
+
+    df = spark.createDataFrame(
+        [(i, ["keep_all", "half", "none"][i % 3]) for i in range(3000)],
+        "doc_id long, source string")
+    out = subsample_sources(df, {"half": 0.5, "none": 0.0})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["keep_all"] == 1000          # default fraction 1.0
+    assert "none" not in got                # fraction 0 drops everything
+    assert 400 <= got["half"] <= 600        # Bernoulli(0.5) over 1000
+    # pure function of (id, seed): identical across runs/partitionings
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in subsample_sources(
+        df.repartition(7), {"half": 0.5, "none": 0.0}).collect()}
+    assert a == b
+    # different seed redraws
+    c = {r["doc_id"] for r in subsample_sources(
+        df, {"half": 0.5, "none": 0.0}, seed="other").collect()}
+    assert a != c
