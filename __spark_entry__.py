@@ -334,10 +334,14 @@ def q_cms_heavy_hitters_sketch(spark, sf_dir):
     top-20 ordered on (est desc, token) so DuckDB reproduces the cut."""
     from qsketch.spark.queries import heavy_hitters_sketch
 
+    # k is chosen far above the fixture vocabulary (so the SQL-ordered
+    # top-20 cut is reproducible) but NOT so large that the default
+    # M = 8k per-partition candidate budget collapses recall: an
+    # explicit smaller M with a huge k would silently lose any token
+    # outside every partition's top-M on a realistic vocabulary
     all_toks = token_ids(_doc_tokens(spark, sf_dir))
     hh = heavy_hitters_sketch(
-        all_toks.select(F.col("token_id").alias("t")), "t", k=100_000,
-        candidates_per_partition=4096)
+        all_toks.select(F.col("token_id").alias("t")), "t", k=4096)
     names = all_toks.select("token", "token_id").distinct()
     return (hh.join(names, hh["t"] == names["token_id"])
               .select("token", "est_count", "lower_bound")
@@ -591,10 +595,14 @@ def q_multimodal_payload_metadata(spark, sf_dir):
     SQL-expressible)."""
     from qsketch.spark.multimodal import extract_features
 
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("opaque").alias("media_type"))
+    # empty/null docs are excluded (in the oracle too): a real codec —
+    # and the stub, deliberately — raises on an empty payload, which
+    # is an ingest-filter concern, not a decode concern
+    media = (_docs(spark, sf_dir)
+             .where(F.length(F.coalesce("text", F.lit(""))) > 0)
+             .select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("payload"),
+                     F.lit("opaque").alias("media_type")))
     feats = extract_features(media).select("media_id", "payload_bytes")
     sums = media.select("media_id", F.md5("payload").alias("checksum"))
     return feats.join(sums, "media_id").select(
@@ -964,7 +972,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_payload_metadata": (
             "SELECT doc_id AS media_id,"
             " CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,"
-            " md5(text) AS checksum FROM documents"),
+            " md5(text) AS checksum FROM documents"
+            " WHERE text IS NOT NULL AND length(text) > 0"),
         "build_lineage_totals": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
             " CAST(SUM(len(list_filter(string_split(text, ' '),"

