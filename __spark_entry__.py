@@ -634,7 +634,8 @@ def q_stream_dedupe_exact(spark, sf_dir):
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir))
     out = run_stream_to_memory(
-        stream_dedupe_exact(stream), "stream_dedupe", output_mode="append")
+        stream_dedupe_exact(stream), "stream_dedupe", output_mode="append",
+        expect_single_batch=True)
     return out.select("doc_id", "digest")
 
 

@@ -85,9 +85,18 @@ class KLLSketch:
         # deterministic "coin": content-hash parity instead of RNG.
         # XOR-reduce of the VECTORIZED per-element hash — a per-byte
         # Python hash of c.tobytes() here cost ~100k interpreter ops per
-        # compaction and made KLL the slowest update in the build
-        offset = int(np.bitwise_xor.reduce(
-            fnv1a64(c.view(np.uint64)))) & 1 if len(c) else 0
+        # compaction and made KLL the slowest update in the build.
+        # Each hash is weighted by an odd position-dependent factor
+        # before the reduce: a plain XOR-reduce cancels values with even
+        # multiplicity (a compactor of duplicated pairs always gave
+        # offset 0).  c is sorted (level invariant), so position is a
+        # pure function of content and the coin stays deterministic.
+        if len(c):
+            h = fnv1a64(c.view(np.uint64))
+            w = 2 * np.arange(len(c), dtype=np.uint64) + 1
+            offset = int(np.bitwise_xor.reduce(h * w)) & 1
+        else:
+            offset = 0
         promoted = c[offset::2]
         self.compactors[level] = keep
         if level + 1 == len(self.compactors):

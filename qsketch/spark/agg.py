@@ -372,9 +372,24 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
     fn = _partial_builder(tuple(specs), ckpt_dir, run_id)
     if ckpt_dir is not None:
         # weaker than the file-direct pin (a DataFrame's content is not
-        # enumerable here) but catches the common repartition footgun
+        # enumerable here) but catches the common repartition footgun;
+        # the analyzed-plan fingerprint additionally catches a resume
+        # against a DIFFERENT input (path/schema/plan) that happens to
+        # have the same task count
+        import hashlib
+        import re
+
+        # exprIds ("tokens#45") differ per session — strip them or a
+        # legitimate resume in a fresh session would spuriously mismatch
+        plan = re.sub(r"#\d+", "#", proj._jdf.queryExecution()
+                      .analyzed().toString())
+        fp = hashlib.md5(
+            (plan + "|" + proj.schema.simpleString() + "|"
+             + ",".join(sorted(s.name for s in specs))).encode()
+        ).hexdigest()
         _pin_ckpt_slicing(ckpt_dir, run_id,
-                          {"n_tasks": proj.rdd.getNumPartitions()})
+                          {"n_tasks": proj.rdd.getNumPartitions(),
+                           "plan_fingerprint": fp})
     partials = proj.mapInArrow(fn, STATE_SCHEMA)
     if ckpt_dir is not None:
         return _materialize_ckpt(partials, df.sparkSession, ckpt_dir, run_id)

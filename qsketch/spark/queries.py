@@ -199,6 +199,9 @@ def heavy_hitters_sketch(df: DataFrame, col: str, k: int = 20,
         rows = (proj.mapInArrow(fn, unified)).collect()
         st = sorted((r for r in rows if r["state"] is not None),
                     key=lambda r: r["partition_id"])
+        if not st:  # zero-partition / empty input: no states were emitted
+            return df.sparkSession.createDataFrame(
+                [], f"{col} long, est_count long, lower_bound long")
         sk = base.from_bytes(st[0]["state"])
         for r in st[1:]:
             sk = sk.merge(base.from_bytes(r["state"]))

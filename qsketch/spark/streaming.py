@@ -273,7 +273,8 @@ _MEMSINK_SEQ = [0]
 
 
 def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
-                         output_mode: str = "complete") -> DataFrame:
+                         output_mode: str = "complete",
+                         expect_single_batch: bool = False) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion through a real
 
     Structured Streaming query into an in-memory sink and return the
@@ -281,6 +282,14 @@ def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
     contract: the stream genuinely goes through the streaming engine
     (micro-batch planner, stateful agg), then the settled table is
     handed back as an ordinary DataFrame.
+
+    ``expect_single_batch=True`` asserts (from the query's progress
+    telemetry) that all input drained in ONE data-carrying micro-batch.
+    Callers whose oracle only holds under single-batch semantics (e.g.
+    ``stream_dedupe_exact``'s global-MIN oracle: the operator emits the
+    min id of the FIRST batch a digest appears in) pass this so a
+    future ``maxFilesPerTrigger``/trigger change fails loudly instead
+    of silently breaking oracle equality.
     """
     spark = stream_df.sparkSession
     _MEMSINK_SEQ[0] += 1
@@ -289,6 +298,14 @@ def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
          .outputMode(output_mode).start())
     try:
         q.processAllAvailable()
+        if expect_single_batch:
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if data_batches > 1:
+                raise AssertionError(
+                    f"{name}: input drained in {data_batches} micro-batches; "
+                    "the caller's oracle assumes exactly one (check "
+                    "maxFilesPerTrigger / trigger configuration)")
     finally:
         q.stop()
     # detach the result from the memory sink so the temp view (a fully

@@ -568,7 +568,8 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
     (bit_count(a ^ b) <= max_hamming).  All Catalyst: slice extraction
     is shift+mask, the join shuffles (slice, 16-bit value, id) rows
     only.  ``max_bucket`` drops degenerate buckets exactly like
-    lsh_candidate_pairs (run exact dedup first).
+    lsh_candidate_pairs (run exact dedup first); it defaults to None =
+    unbounded recall (changed from a lossy default of 500 in round 3).
     """
     if n_slices < max_hamming + 1:
         raise ValueError("need n_slices >= max_hamming + 1 for full recall")
@@ -610,8 +611,12 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
 
     simhash column exists for.  (a, b, hamming) for all pairs within
-    max_hamming; full recall for d <= n_slices - 1 by pigeonhole
-    (buckets over max_bucket dropped — pass None to disable)."""
+    max_hamming; full recall for d <= n_slices - 1 by pigeonhole.
+
+    ``max_bucket`` defaults to None = unbounded recall (changed from a
+    lossy default of 500 in round 3 — existing callers now get full
+    recall and, on skewed buckets, a larger self-join).  At web scale
+    set a cap and audit drops with :func:`oversized_buckets`."""
     sh = simhash(df, text_col, id_col)
     return simhash_pairs(sh, id_col, max_hamming, max_bucket=max_bucket)
 
