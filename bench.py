@@ -375,7 +375,7 @@ def main() -> None:
         "host phase, medianed; _from_min = min-of-K estimator.")
     extras["scaling"] = scaling
 
-    print(json.dumps({
+    full = {
         "metric": "bench_suite_total_sec",  # headline throughput is the
         # top-level tokens_per_sec field (tokens/sec, higher is better)
         "value": round(sum(queries.values()), 3),
@@ -383,7 +383,30 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         **extras,
-    }))
+    }
+    # full record (spreads, controls, prose note) goes to a FILE: round
+    # 3's single fat stdout line outgrew the driver's tail window and
+    # the official artifact lost the whole per-query dict.  stdout gets
+    # one COMPACT line (last, so a front-truncating tail keeps it).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "BENCH_full.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact_scaling = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in scaling.items()
+        if isinstance(v, (int, float))}
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "tokens_per_sec": {k: round(v) for k, v in tput.items()},
+        "scaling": compact_scaling,
+        "full_record": "bench/BENCH_full.json",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -12,7 +12,15 @@ not import time):
     from qsketch.spark.session import make_session
 """
 
-from . import agg, io, multimodal, queries, session, similarity, sqlfns, streaming, textops  # noqa: F401
+from .workerpatch import ensure_worker_patched
+
+# installs the guarded importlib.invalidate_caches as soon as this
+# package is imported — which, in an executor, happens while unpickling
+# the first engine function a worker runs.  Lazy fallback for sessions
+# not using the fastdaemon module; ~210 ms/task saved (workerpatch.py).
+ensure_worker_patched()
+
+from . import agg, io, multimodal, queries, session, similarity, sqlfns, streaming, textops  # noqa: F401,E402
 
 __all__ = ["agg", "io", "multimodal", "queries", "session", "similarity",
            "sqlfns", "streaming", "textops"]

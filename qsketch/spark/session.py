@@ -30,10 +30,29 @@ _ALLOC_ENV = {
 
 
 def make_session(cpus: int, app: str = "qsketch", driver_mem: str = "16g",
-                 arrow_batch: int = 16384, **extra_conf):
+                 arrow_batch: int = 16384, fast_worker: bool = True,
+                 **extra_conf):
     from pyspark.sql import SparkSession
 
     os.environ.update(_ALLOC_ENV)  # driver side + inherited by the JVM
+    if fast_worker and os.environ.get("QSKETCH_FAST_WORKER", "1") != "0":
+        # daemon module with the per-task protocol fix pre-installed
+        # (workerpatch.py: guarded importlib.invalidate_caches, ~210 ms
+        # saved per python-runner task on this stack).  The daemon
+        # process must be able to import qsketch: put the package root
+        # (a directory or a --py-files zip) on the inherited PYTHONPATH.
+        import qsketch as _q
+
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(_q.__file__)))
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if pkg_root not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [pkg_root] + [p for p in parts if p])
+        extra_conf.setdefault("spark.python.daemon.module",
+                              "qsketch.spark.fastdaemon")
+        extra_conf.setdefault("spark.executorEnv.PYTHONPATH",
+                              os.environ["PYTHONPATH"])
     b = (SparkSession.builder.master(f"local[{cpus}]").appName(app)
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.session.timeZone", "UTC")  # NTZ casts and

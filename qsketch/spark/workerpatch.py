@@ -1,0 +1,109 @@
+"""Worker-side protocol cost fixes (measured on pyspark 4.1.2).
+
+Every Python-runner task (mapInArrow / applyInPandas / pandas_udf)
+pays a fixed per-task protocol cost in ``pyspark.worker.main``.  On
+this stack the dominant term is ``worker_util.setup_spark_files`` →
+``importlib.invalidate_caches()``: CPython's ``zipimporter.
+invalidate_caches`` re-reads the ENTIRE zip end-of-central-directory
+for every cached zip finder — pyspark.zip (~1.3k entries) and a 15 MB
+spark jar that Spark puts on the worker path — on EVERY task.
+Measured: ~210 ms of a ~263 ms per-task overhead (no-op task, 8 pinned
+cores; engine work per fine-grained task is ~350 ms, so this was a
+~60% tax on the whole partial phase).
+
+:func:`install` replaces ``importlib.invalidate_caches`` with a
+guarded version that stats every ``sys.path`` entry and only delegates
+to the real invalidation when something actually changed (entry
+added/removed, or an entry's mtime moved — e.g. ``sc.addPyFile``
+writing into the spark-files dir).  Correctness: FileFinder (directory)
+caches are already self-validating by mtime on every import, and zip
+finders only go stale if the zip file itself is rewritten — which the
+mtime guard detects.  The guard costs ~15 µs/task instead of ~210 ms.
+
+Install paths (both idempotent):
+  * :mod:`qsketch.spark.fastdaemon` — a drop-in
+    ``spark.python.daemon.module`` that installs the patch BEFORE
+    pyspark's daemon forks workers, so every task of every job is fast
+    (wired by :func:`qsketch.spark.session.make_session`).
+  * :func:`ensure_worker_patched` — lazy fallback called at the top of
+    the engine's own worker functions, for sessions that did not opt
+    into the daemon module (first task per worker still pays the tax).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+_STATE_ATTR = "_qsketch_guarded_invalidate"
+
+
+def _path_signature() -> tuple:
+    sig = []
+    for p in sys.path:
+        try:
+            st = os.stat(p)
+            sig.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((p, None, None))
+    return tuple(sig)
+
+
+def install() -> None:
+    """Idempotently install both worker-side cost guards."""
+    if not getattr(importlib.invalidate_caches, _STATE_ATTR, False):
+        real = importlib.invalidate_caches
+        state = {"sig": None}
+
+        def guarded_invalidate_caches() -> None:
+            sig = _path_signature()
+            if sig != state["sig"]:
+                real()
+                state["sig"] = sig
+
+        setattr(guarded_invalidate_caches, _STATE_ATTR, True)
+        guarded_invalidate_caches.__doc__ = (
+            "qsketch guarded importlib.invalidate_caches (see "
+            "qsketch.spark.workerpatch); delegates to the real one when "
+            "sys.path contents change.")
+        importlib.invalidate_caches = guarded_invalidate_caches
+    _install_gc_throttle()
+
+
+def _install_gc_throttle() -> None:
+    """pyspark's daemon reuse loop runs a FULL ``gc.collect()`` after
+    every task — measured 68 ms/task here (the worker heap holds ~1M
+    objects from the pyspark/pyarrow imports alone).  Only the daemon
+    loop's calls are throttled: generation-1 normally, a real full
+    collection at most every 10 s.  Engine allocations are acyclic
+    NumPy/Arrow buffers freed by refcount, so deferring full cycles is
+    safe; any OTHER caller of gc.collect (user code managing memory)
+    still gets exactly what it asked for."""
+    import gc
+    import time
+
+    if getattr(gc.collect, _STATE_ATTR, False):
+        return
+    real_collect = gc.collect
+    state = {"last_full": 0.0}
+
+    def throttled_collect(generation: int = 2):
+        caller = sys._getframe(1).f_code.co_filename
+        if generation == 2 and caller.endswith("daemon.py"):
+            now = time.monotonic()
+            if now - state["last_full"] < 10.0:
+                return real_collect(1)
+            state["last_full"] = now
+        return real_collect(generation)
+
+    setattr(throttled_collect, _STATE_ATTR, True)
+    gc.collect = throttled_collect
+
+
+def ensure_worker_patched() -> None:
+    """Lazy per-worker install for sessions without the fastdaemon
+    module.  Called from engine worker functions; no-op after the first
+    call in a given worker process (and no-op on the driver side too —
+    the guard is correct anywhere)."""
+    install()
