@@ -141,6 +141,32 @@ def q_top_tokens_per_source(spark, sf_dir):
                .select("source", "token", "cnt", "rank"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Text analysis: per-source top-5 terms by tf-idf (tf = term count
+    in source, idf = ln(n_sources / df)).  Ranking runs on the ROUNDED
+    score (4 dp) with a token tie-break so the order is reproducible
+    across engines (same pattern as the cosine queries: both engines
+    compute IEEE doubles from identical integers; rounding removes any
+    last-ulp ambiguity)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source", F.explode(F.split("text", " ")).alias("token"))
+             .where(F.col("token") != ""))
+    tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    n_sources = toks.select("source").distinct().count()
+    scored = (tf.join(dfreq, "token")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")),
+                  4)))
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("source", "token", "tf", "df", "tfidf", "rank")
+            .orderBy("source", "rank"))
+
+
 def q_distinct_tokens_exact(spark, sf_dir):
     return (_doc_tokens(spark, sf_dir)
             .agg(F.countDistinct("token").alias("n_distinct")))
@@ -192,6 +218,33 @@ def q_qf_cardinality_by_source(spark, sf_dir):
     return (grouped_cardinality(merged, "group", "n_distinct_tokens")
             .withColumnRenamed("group", "source")
             .orderBy("source"))
+
+
+def q_source_token_overlap(spark, sf_dir):
+    """Cross-source token-set overlap via per-source KMV (bottom-k /
+    theta-style) sketches — the SET-OPERATIONS sketch: union is the
+    canonical merge, intersection / Jaccard come from the common hash
+    sample below min-theta (qsketch/kmv.py).  k = 2^17 exceeds the
+    distinct-token union at every driver scale, so the sketches run in
+    their exact regime and the oracle checks values exactly (the same
+    driver-scale-exact contract as the CMS heavy-hitter rows); at
+    100-TB scale the identical query runs saturated with ~1/sqrt(k)
+    relative error and a bounded 1 MB state per source."""
+    from qsketch.spark.queries import grouped_set_relations
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source", F.explode(F.split("text", " ")).alias("token"))
+             .where(F.col("token") != ""))
+    toks = token_ids(toks).select("source", "token_id")
+    merged = build_grouped(
+        toks, (SketchSpec("kmv", "token_id", {"k": 1 << 17}),), "source")
+    rel = grouped_set_relations(merged, "group")
+    return (rel.select(
+                "a", "b",
+                F.col("n_intersection").cast("long").alias("n_common"),
+                F.col("n_union").cast("long").alias("n_union"),
+                F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
 
 
 def q_events_distinct_users_exact(spark, sf_dir):
@@ -639,6 +692,50 @@ def q_stream_dedupe_exact(spark, sf_dir):
     return out.select("doc_id", "digest")
 
 
+def q_stream_rolling_sketch(spark, sf_dir):
+    """TTL-expiring per-key rolling sketch — the reference's advertised
+    'expiring keys' (/root/reference/README.md:11) — as a driver row:
+    documents streamed through applyInPandasWithState holding one HLL
+    per source with a 1 h processing-time TTL (no expiry fires inside
+    the query; expiry itself is pytest-covered in test_streaming.py).
+    The exact outputs are oracle-checked (docs per key; expired flag);
+    the cardinality estimate is validated in-query against the exact
+    batch-side distinct count: est_ok = |est/true - 1| < 0.05, a 6-sigma
+    envelope for HLL p=14 (sigma ~ 0.8%), deterministic because the HLL
+    hash is seedless."""
+    from qsketch.spark.streaming import (rolling_sketch_by_key,
+                                         run_stream_until_rows)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                     lambda t: t != "")
+    ev = stream.select(
+        "source", F.transform(words, lambda t: F.xxhash64(t)).alias("tokens"))
+    out = rolling_sketch_by_key(ev, key_col="source", tokens_col="tokens",
+                                ttl_ms=3_600_000)
+    batch = spark.read.parquet(path)
+    n_sources = batch.select("source").distinct().count()
+    res = run_stream_until_rows(out, "rolling_sketch", min_rows=n_sources)
+    exact = (batch
+             .select("source", F.explode(F.filter(
+                 F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                 lambda t: t != "")).alias("token"))
+             .groupBy("source")
+             .agg(F.countDistinct("token").alias("__true")))
+    return (res.where(~F.col("expired"))
+            .join(exact, res["key"] == exact["source"], "left")
+            .select(F.col("key"), F.col("batch_docs"),
+                    F.when(F.col("__true").isNull(),  # token-less source
+                           F.col("est_distinct") == 0.0)
+                    .otherwise(F.abs(F.col("est_distinct") / F.col("__true")
+                                     - 1.0) < 0.05).alias("est_ok"))
+            .orderBy("key"))
+
+
 def q_text_quality(spark, sf_dir):
     from qsketch.spark.textops import text_quality
 
@@ -687,15 +784,22 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_topk_ivf(spark, sf_dir):
-    """IVF-flat ANN scale path: deterministic k-means cells + n_probe
-    scan + exact re-rank (rows-only; recall asserted in pytest)."""
+    """IVF-flat ANN path, FULL-probe mode (n_probe == n_cells): every
+    cell is scanned, so the driver row is exact and shares the
+    brute-force oracle — proving the cell assignment + probe + re-rank
+    machinery loses nothing.  The approximate n_probe < n_cells
+    operating point is exercised by the recall pytest
+    (tests/test_textops.py) and the 100k-vector drill
+    (tools/stress_similarity.py)."""
     from qsketch.spark.similarity import cosine_topk_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     qs = (emb.where(F.col("vec_id") < 5)
              .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return cosine_topk_ivf(emb, qs, dim=dim, k=10, n_cells=16, n_probe=6)
+    out = cosine_topk_ivf(emb, qs, dim=dim, k=10, n_cells=16, n_probe=16)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def q_cosine_topk_ivf_index(spark, sf_dir):
@@ -750,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_remove_membership": q_qf_remove_membership,
         "bloom_membership": q_bloom_membership,
         "qf_cardinality_by_source": q_qf_cardinality_by_source,
+        "source_token_overlap": q_source_token_overlap,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "events_distinct_users_exact": q_events_distinct_users_exact,
         "events_hourly_stats": q_events_hourly_stats,
         "events_json_props": q_events_json_props,
@@ -780,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_duplicates_lsh": q_embedding_near_duplicates_lsh,
         "stream_windowed_token_rate": q_stream_windowed_token_rate,
         "stream_dedupe_exact": q_stream_dedupe_exact,
+        "stream_rolling_sketch": q_stream_rolling_sketch,
         "text_quality": q_text_quality,
         "token_piece_counts": q_token_piece_counts,
         "language_id": q_language_id,
@@ -903,6 +1010,42 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)"
             " SELECT source, COUNT(DISTINCT token) AS n_distinct_tokens"
             " FROM toks WHERE token <> '' GROUP BY source"),
+        "source_token_overlap": (
+            "WITH st AS (SELECT DISTINCT source, tok FROM"
+            "  (SELECT source, unnest(list_filter(string_split(text, ' '),"
+            "   t -> t <> '')) AS tok FROM documents)),"
+            " cnt AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),"
+            " pairs AS (SELECT c1.source AS a, c2.source AS b, c1.n AS na,"
+            "  c2.n AS nb FROM cnt c1 JOIN cnt c2 ON c1.source < c2.source),"
+            " inter AS (SELECT s1.source AS a, s2.source AS b, COUNT(*) AS ni"
+            "  FROM st s1 JOIN st s2 ON s1.tok = s2.tok"
+            "  AND s1.source < s2.source GROUP BY 1, 2)"
+            " SELECT p.a, p.b, COALESCE(i.ni, 0) AS n_common,"
+            "  p.na + p.nb - COALESCE(i.ni, 0) AS n_union,"
+            "  ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)"
+            "   / (p.na + p.nb - COALESCE(i.ni, 0)), 6) AS jaccard"
+            " FROM pairs p LEFT JOIN inter i ON p.a = i.a AND p.b = i.b"
+            " ORDER BY p.a, p.b"),
+        "stream_rolling_sketch": (
+            "SELECT source AS key, COUNT(*) AS batch_docs, TRUE AS est_ok"
+            " FROM documents GROUP BY source ORDER BY key"),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT source, unnest(list_filter("
+            "  string_split(text, ' '), t -> t <> '')) AS token"
+            "  FROM documents),"
+            " tf AS (SELECT source, token, COUNT(*) AS tf FROM toks"
+            "  GROUP BY 1, 2),"
+            " dfreq AS (SELECT token, COUNT(DISTINCT source) AS df FROM tf"
+            "  GROUP BY 1),"
+            " ns AS (SELECT COUNT(DISTINCT source) AS n FROM toks),"
+            " scored AS (SELECT tf.source, tf.token, tf.tf, dfreq.df,"
+            "  ROUND(tf.tf * ln(CAST((SELECT n FROM ns) AS DOUBLE)"
+            "   / dfreq.df), 4) AS tfidf"
+            "  FROM tf JOIN dfreq USING (token)),"
+            " ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source"
+            "  ORDER BY tfidf DESC, token ASC) AS rank FROM scored)"
+            " SELECT source, token, tf, df, tfidf, rank FROM ranked"
+            " WHERE rank <= 5 ORDER BY source, rank"),
         "events_distinct_users_exact": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type"),
@@ -1086,4 +1229,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _COSINE_TOPK_SQL,
         # full-probe persisted-index path must equal the exact top-k
         "cosine_topk_ivf_index": _COSINE_TOPK_SQL,
+        # full-probe IVF (no persisted index) must equal it too
+        "cosine_topk_ivf": _COSINE_TOPK_SQL,
     }

@@ -13,6 +13,7 @@ from .dyadic import DyadicCMQuantiles
 from .hash import fnv1a64, fnv1a64_bytes, fnv1a64_str_array, splitmix64
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .kmv import KMVSketch
 from .quotient import QuotientFilter, QuotientFilterFullError
 from .tdigest import TDigest
 
@@ -23,6 +24,7 @@ __all__ = [
     "DyadicCMQuantiles",
     "HyperLogLog",
     "KLLSketch",
+    "KMVSketch",
     "QuotientFilter",
     "QuotientFilterFullError",
     "TDigest",

@@ -33,6 +33,7 @@ KIND_CMS = 4
 KIND_KLL = 5
 KIND_TDIGEST = 6
 KIND_DYADIC = 7
+KIND_KMV = 8
 
 _REGISTRY: dict[int, type] = {}
 

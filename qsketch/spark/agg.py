@@ -53,6 +53,7 @@ from ..dyadic import DyadicCMQuantiles
 from ..hash import fnv1a64
 from ..hll import HyperLogLog
 from ..kll import KLLSketch
+from ..kmv import KMVSketch
 from ..quotient import QuotientFilter
 from ..tdigest import TDigest
 
@@ -97,7 +98,7 @@ DEFAULT_SPECS = (
     SketchSpec("tdigest", "n_tok"),
 )
 
-_HASH_KINDS = {"quotient", "bloom", "hll", "cms"}
+_HASH_KINDS = {"quotient", "bloom", "hll", "cms", "kmv"}
 
 
 class _Acc:
@@ -122,6 +123,8 @@ class _Acc:
         elif k == "cms":
             self.sk = CountMinSketch(p.get("width", 27183), p.get("depth", 7),
                                      p.get("seed", 0xC0FFEE))
+        elif k == "kmv":
+            self.sk = KMVSketch(p.get("k", 4096))
         elif k == "kll":
             self.sk = KLLSketch(p.get("k", 200))
         elif k == "tdigest":

@@ -300,6 +300,48 @@ def grouped_quantiles(merged_states: DataFrame, qs: list[float],
                     F.col("z.value").alias("value")))
 
 
+def grouped_set_relations(merged_states: DataFrame,
+                          group_col: str = "group") -> DataFrame:
+    """Pairwise set algebra between per-group KMV sketches: (a, b,
+
+    n_intersection, n_union, jaccard) for every unordered group pair —
+    the sketch answer to "how much do these sources overlap", which no
+    other cardinality sketch here can give (HLL unions but cannot
+    intersect without inclusion-exclusion blowup; see qsketch/kmv.py).
+
+    Inputs are STATE rows (one per group, <= k*8 bytes each), so the
+    pairwise comparison is a broadcast self-join over blobs — no data
+    rows move.  Estimates are EXACT while the sketches are unsaturated
+    (distinct <= k); once saturated they carry the KMV ~1/sqrt(k-1)
+    relative error.  All-pairs output is quadratic in groups: filter
+    the state frame to the groups of interest first (it stays
+    distributed either way)."""
+    from pyspark.sql.functions import pandas_udf
+
+    a = merged_states.select(F.col(group_col).alias("a"),
+                             F.col("state").alias("__sa"))
+    b = merged_states.select(F.col(group_col).alias("b"),
+                             F.col("state").alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+
+    @pandas_udf("n_intersection double, n_union double, jaccard double")
+    def rel(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for ba, bb in zip(sa, sb):
+            ka, kb = base.from_bytes(ba), base.from_bytes(bb)
+            rows.append((ka.intersection_estimate(kb),
+                         ka.union_estimate(kb),
+                         ka.jaccard_estimate(kb)))
+        return pd.DataFrame(rows, columns=["n_intersection", "n_union",
+                                           "jaccard"])
+
+    return (pairs.select("a", "b", rel("__sa", "__sb").alias("__r"))
+            .select("a", "b",
+                    F.col("__r.n_intersection").alias("n_intersection"),
+                    F.col("__r.n_union").alias("n_union"),
+                    F.col("__r.jaccard").alias("jaccard")))
+
+
 def build_excluding(build_df: DataFrame, exclude_df: DataFrame,
                     build_col: str, exclude_col: str,
                     kind: str = "quotient", params: dict | None = None):

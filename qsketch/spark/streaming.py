@@ -319,6 +319,50 @@ def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
     return spark.createDataFrame(rows, schema)
 
 
+def run_stream_until_rows(stream_df: DataFrame, name_prefix: str,
+                          min_rows: int, output_mode: str = "update",
+                          timeout_s: float = 180.0,
+                          poll_s: float = 0.2) -> DataFrame:
+    """Memory-sink harness for queries whose TIMEOUT machinery keeps
+
+    ``processAllAvailable`` from returning: once a processing-time
+    timeout is registered (rolling_sketch_by_key), the engine always
+    reports pending state-cleanup work, so the settle-based harness
+    above would hang.  Instead: poll the sink until ``min_rows`` rows
+    arrive, assert the bounded input drained in ONE data-carrying
+    micro-batch (so ``min_rows`` really is the final answer, not a
+    partial batch), stop, and hand back the settled table.
+    """
+    import time as _t
+
+    spark = stream_df.sparkSession
+    _MEMSINK_SEQ[0] += 1
+    name = f"{name_prefix}_{_MEMSINK_SEQ[0]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    try:
+        deadline = _t.monotonic() + timeout_s
+        while spark.table(name).count() < min_rows:
+            if _t.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{name}: sink did not reach {min_rows} rows within "
+                    f"{timeout_s}s (got {spark.table(name).count()})")
+            _t.sleep(poll_s)
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0)
+        if data_batches > 1:
+            raise AssertionError(
+                f"{name}: input drained in {data_batches} micro-batches; "
+                "this harness' row-count completion test assumes one")
+    finally:
+        q.stop()
+    table = spark.table(name)
+    rows = table.collect()
+    schema = table.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 def windowed_token_rate_batch_equiv(spark, sf_dir: str,
                                     window: str = "1 hour") -> DataFrame:
     """Driver-contract form of :func:`windowed_token_rate`: stream the

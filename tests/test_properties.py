@@ -109,3 +109,29 @@ def test_quantile_states_canonical_fold_is_arrival_order_independent():
         shuffled = list(partials)
         random.Random(seed).shuffle(shuffled)
         assert fold(shuffled) == ref
+
+
+@given(a=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                  max_size=300),
+       b=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                  max_size=300),
+       c=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                  max_size=300),
+       k=st.integers(min_value=2, max_value=64))
+@settings(max_examples=60, deadline=None)
+def test_kmv_merge_associative_commutative_bytes(a, b, c, k):
+    """KMV keeps a sorted unique bottom-k: a pure function of the union
+    of inputs, so ANY merge shape must serialize byte-identically."""
+    from qsketch.kmv import KMVSketch
+
+    def mk(vals):
+        s = KMVSketch(k=k)
+        s.update(np.array(vals, dtype=np.int64))
+        return s
+
+    fa, fb, fc = mk(a), mk(b), mk(c)
+    x = fa.merge(fb).merge(fc).to_bytes()
+    y = fc.merge(fa.merge(fb)).to_bytes()
+    z = fb.merge(fc).merge(fa).to_bytes()
+    single = mk(a + b + c)
+    assert x == y == z == single.to_bytes()

@@ -217,3 +217,85 @@ def test_tdigest_centroid_count_bounded():
     td.update(np.random.default_rng(8).uniform(0, 1, 500_000))
     td._flush()
     assert len(td.means) <= 2 * td.delta
+
+
+# ---------------- KMV (bottom-k / theta-style set ops) ---------------------
+
+
+def test_kmv_exact_below_capacity_and_estimate_bound():
+    from qsketch.kmv import KMVSketch
+
+    vals = np.arange(1000, dtype=np.int64)
+    sk = KMVSketch(k=2048)
+    sk.update(vals)
+    sk.update(vals)  # duplicates must not count
+    assert sk.estimate() == 1000.0  # exact regime
+    assert sk.theta == 1.0
+
+    # saturated regime: relative error within 6/sqrt(k-1)
+    big = np.arange(200_000, dtype=np.int64)
+    sk2 = KMVSketch(k=1024)
+    sk2.update(big)
+    rel = abs(sk2.estimate() - 200_000) / 200_000
+    assert rel < 6 / np.sqrt(1023)
+
+
+def test_kmv_merge_canonical_and_matches_single():
+    from qsketch.kmv import KMVSketch
+
+    vals = _zipf_tokens(50_000, seed=7)
+    parts = np.array_split(vals, 5)
+    sks = []
+    for p in parts:
+        s = KMVSketch(k=512)
+        s.update(p)
+        sks.append(s)
+    merged_fwd = functools.reduce(lambda a, b: a.merge(b), sks)
+    merged_rev = functools.reduce(lambda a, b: a.merge(b), sks[::-1])
+    single = KMVSketch(k=512)
+    single.update(vals)
+    assert merged_fwd.to_bytes() == merged_rev.to_bytes() == single.to_bytes()
+
+    rt = base.from_bytes(single.to_bytes())
+    assert rt.to_bytes() == single.to_bytes()
+    with pytest.raises(ValueError):
+        KMVSketch(k=512).merge(KMVSketch(k=256))
+
+
+def test_kmv_set_operations_exact_and_estimated():
+    from qsketch.kmv import KMVSketch
+
+    a_vals = np.arange(0, 6000, dtype=np.int64)
+    b_vals = np.arange(4000, 10000, dtype=np.int64)  # overlap 2000
+    # exact regime: k above both cardinalities
+    a, b = KMVSketch(k=1 << 14), KMVSketch(k=1 << 14)
+    a.update(a_vals)
+    b.update(b_vals)
+    assert a.intersection_estimate(b) == 2000.0
+    assert a.union_estimate(b) == 10000.0
+    assert abs(a.jaccard_estimate(b) - 0.2) < 1e-12
+    assert a.difference_estimate(b) == 4000.0
+
+    # saturated regime: estimates within 6-sigma-ish of truth
+    a2, b2 = KMVSketch(k=2048), KMVSketch(k=2048)
+    a2.update(np.arange(0, 120_000, dtype=np.int64))
+    b2.update(np.arange(80_000, 200_000, dtype=np.int64))
+    inter = a2.intersection_estimate(b2)
+    assert abs(inter - 40_000) / 40_000 < 0.25  # small common sample
+    uni = a2.union_estimate(b2)
+    assert abs(uni - 200_000) / 200_000 < 6 / np.sqrt(2047)
+    jac = a2.jaccard_estimate(b2)
+    assert abs(jac - 0.2) < 0.05
+
+
+def test_kmv_empty_and_disjoint():
+    from qsketch.kmv import KMVSketch
+
+    a, b = KMVSketch(k=64), KMVSketch(k=64)
+    assert a.estimate() == 0.0
+    assert a.jaccard_estimate(b) == 0.0
+    a.update(np.array([1, 2, 3], dtype=np.int64))
+    b.update(np.array([7, 8], dtype=np.int64))
+    assert a.intersection_estimate(b) == 0.0
+    assert a.jaccard_estimate(b) == 0.0
+    assert a.difference_estimate(b) == 3.0

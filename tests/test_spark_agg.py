@@ -481,3 +481,53 @@ def test_ckpt_resume_rejects_changed_slicing(spark, tiny_df, tmp_path):
     with pytest.raises(ValueError, match="mis-map"):
         build_partials(tiny_df.repartition(3), specs,
                        ckpt_dir=ck2, run_id="r2").collect()
+
+
+def test_grouped_kmv_set_relations_exact(spark, tiny_df):
+    """grouped_set_relations in the exact (unsaturated) regime must
+    reproduce ground-truth pairwise intersection/union/Jaccard computed
+    from the raw token sets."""
+    from qsketch.spark.agg import SketchSpec, build_grouped
+    from qsketch.spark.queries import grouped_set_relations
+
+    merged = build_grouped(
+        tiny_df, (SketchSpec("kmv", "tokens", {"k": 1 << 16}),), "source")
+    rel = {(r["a"], r["b"]): (r["n_intersection"], r["n_union"], r["jaccard"])
+           for r in grouped_set_relations(merged, "group").collect()}
+
+    rows = tiny_df.select("source", "tokens").collect()
+    truth: dict[str, set] = {}
+    for r in rows:
+        truth.setdefault(r["source"], set()).update(r["tokens"] or [])
+    srcs = sorted(truth)
+    assert len(rel) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ni = len(truth[a] & truth[b])
+            nu = len(truth[a] | truth[b])
+            got = rel[(a, b)]
+            assert got[0] == float(ni)
+            assert got[1] == float(nu)
+            assert abs(got[2] - (ni / nu if nu else 0.0)) < 1e-12
+
+
+def test_grouped_kmv_saturated_estimates(spark, tiny_df):
+    """Saturated KMV (k far below distinct count) must stay within the
+    published ~1/sqrt(k-1) envelope for per-group cardinality."""
+    from qsketch.spark.agg import SketchSpec, build_grouped
+    from qsketch.spark.queries import grouped_cardinality
+
+    merged = build_grouped(
+        tiny_df, (SketchSpec("kmv", "tokens", {"k": 256}),), "source")
+    est = {r["group"]: r["n_distinct"]
+           for r in grouped_cardinality(merged, "group").collect()}
+    rows = tiny_df.select("source", "tokens").collect()
+    truth: dict[str, set] = {}
+    for r in rows:
+        truth.setdefault(r["source"], set()).update(r["tokens"] or [])
+    for src, toks in truth.items():
+        n = len(toks)
+        if n <= 256:
+            assert est[src] == n
+        else:
+            assert abs(est[src] - n) / n < 6 / (255 ** 0.5)
