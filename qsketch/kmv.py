@@ -78,19 +78,26 @@ class KMVSketch:
     def saturated(self) -> bool:
         return len(self.values) >= self.k
 
+    def _theta_raw(self) -> int:
+        """EXACT inclusion threshold as an integer: retained hashes are
+
+        precisely the distinct hashes < this value (2^64 while
+        unsaturated = everything retained).  Kept as a python int so
+        set-op thresholds compare exactly — a float theta would round
+        near the top of the 64-bit range and fuzz the sample boundary."""
+        if not self.saturated:
+            return 1 << 64
+        return int(self.values[self.k - 1])  # kth smallest
+
     @property
     def theta(self) -> float:
-        """Inclusion threshold: retained hashes are exactly the distinct
-        hashes < theta * 2^64 (1.0 while unsaturated)."""
-        if not self.saturated:
-            return 1.0
-        # kth smallest is values[k-1]; everything strictly below it is in
-        return float(self.values[self.k - 1]) / _TWO64
+        """Float view of the inclusion threshold (for display/tests)."""
+        return self._theta_raw() / _TWO64
 
     def estimate(self) -> float:
         if not self.saturated:
             return float(len(self.values))  # EXACT below capacity
-        return (self.k - 1) / self.theta
+        return (self.k - 1) * _TWO64 / self._theta_raw()
 
     def cardinality(self) -> float:
         """Alias so the generic decode paths (grouped_cardinality, SQL
@@ -99,20 +106,19 @@ class KMVSketch:
 
     def intersection_estimate(self, other: "KMVSketch") -> float:
         """Estimated |A ∩ B| (exact when both sketches are unsaturated)."""
-        theta = min(self.theta, other.theta)
-        a = self._below(theta)
-        b = other._below(theta)
-        common = np.intersect1d(a, b, assume_unique=True)
-        return len(common) / theta if theta < 1.0 else float(len(common))
+        raw = min(self._theta_raw(), other._theta_raw())
+        common = np.intersect1d(self._below(raw), other._below(raw),
+                                assume_unique=True)
+        return len(common) * _TWO64 / raw
 
     def union_estimate(self, other: "KMVSketch") -> float:
         return self.merge(other).estimate()
 
     def jaccard_estimate(self, other: "KMVSketch") -> float:
         """|A ∩ B| / |A ∪ B| from the common sample below min-theta."""
-        theta = min(self.theta, other.theta)
-        a = self._below(theta)
-        b = other._below(theta)
+        raw = min(self._theta_raw(), other._theta_raw())
+        a = self._below(raw)
+        b = other._below(raw)
         union = np.union1d(a, b)
         if len(union) == 0:
             return 0.0
@@ -121,17 +127,16 @@ class KMVSketch:
 
     def difference_estimate(self, other: "KMVSketch") -> float:
         """Estimated |A \\ B|."""
-        theta = min(self.theta, other.theta)
-        a = self._below(theta)
-        b = other._below(theta)
-        only = np.setdiff1d(a, b, assume_unique=True)
-        return len(only) / theta if theta < 1.0 else float(len(only))
+        raw = min(self._theta_raw(), other._theta_raw())
+        only = np.setdiff1d(self._below(raw), other._below(raw),
+                            assume_unique=True)
+        return len(only) * _TWO64 / raw
 
-    def _below(self, theta: float) -> np.ndarray:
-        if theta >= 1.0:
+    def _below(self, raw_threshold: int) -> np.ndarray:
+        """Retained hashes strictly below the EXACT integer threshold."""
+        if raw_threshold >= 1 << 64:
             return self.values
-        cut = np.uint64(min(theta * _TWO64, _TWO64 - 1))
-        return self.values[self.values < cut]
+        return self.values[self.values < np.uint64(raw_threshold)]
 
     # -- serialization ---------------------------------------------------
     def to_bytes(self) -> bytes:

@@ -14,10 +14,12 @@ not import time):
 
 from .workerpatch import ensure_worker_patched
 
-# installs the guarded importlib.invalidate_caches as soon as this
-# package is imported — which, in an executor, happens while unpickling
-# the first engine function a worker runs.  Lazy fallback for sessions
-# not using the fastdaemon module; ~210 ms/task saved (workerpatch.py).
+# installs the worker-side cost guards when this package is imported
+# INSIDE a pyspark worker process — which happens while unpickling the
+# first engine function a worker runs.  Outside a worker (driver, user
+# apps) this is a no-op, so importing the library has no process-global
+# side effects.  Lazy fallback for sessions not using the fastdaemon
+# module; ~210 ms/task saved (workerpatch.py).
 ensure_worker_patched()
 
 from . import agg, io, multimodal, queries, session, similarity, sqlfns, streaming, textops  # noqa: F401,E402

@@ -249,7 +249,12 @@ def _pin_ckpt_slicing(ckpt_dir: str, run_id: str, meta: dict) -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = _json.load(fh)
-        if prev != meta:
+        # grandfather pins written before a new meta key existed: only
+        # the keys the old pin recorded participate in the comparison
+        # (a pin can gain stricter keys across versions without
+        # invalidating every in-flight checkpoint)
+        meta_cmp = {k: v for k, v in meta.items() if k in prev}
+        if prev != meta_cmp:
             raise ValueError(
                 f"checkpoint {run_id!r} was written with slicing "
                 f"{ {k: (len(v) if isinstance(v, list) else v) for k, v in prev.items()} }; "
@@ -383,11 +388,18 @@ def build_partials(df: DataFrame, specs=DEFAULT_SPECS,
         import re
 
         # exprIds ("tokens#45") differ per session — strip them or a
-        # legitimate resume in a fresh session would spuriously mismatch
+        # legitimate resume in a fresh session would spuriously mismatch.
+        # The analyzed plan alone does NOT name the scanned path
+        # ("Relation [cols] parquet" is path-free), so the fingerprint
+        # also folds in the scan's file listing — bounded to the ends of
+        # the sorted list so a million-file table stays cheap while a
+        # different input directory still changes the pin.
         plan = re.sub(r"#\d+", "#", proj._jdf.queryExecution()
                       .analyzed().toString())
+        files = sorted(proj.inputFiles())
+        file_sig = f"{len(files)}|{files[:8]}|{files[-8:]}"
         fp = hashlib.md5(
-            (plan + "|" + proj.schema.simpleString() + "|"
+            (plan + "|" + file_sig + "|" + proj.schema.simpleString() + "|"
              + ",".join(sorted(s.name for s in specs))).encode()
         ).hexdigest()
         _pin_ckpt_slicing(ckpt_dir, run_id,
@@ -585,10 +597,7 @@ def _finalize(partials: DataFrame, num_leaves: int, fanin: int,
         # instead of pickled Rows — measured 0.2 s vs 1.6 s for the
         # same 64 x ~3 MB state rows (driver-side pickle of big binary
         # cells dominates plain collect())
-        tab = df.toArrow()
-        names = tab.column_names
-        rows = [dict(zip(names, vals))
-                for vals in zip(*(tab.column(n).to_pylist() for n in names))]
+        rows = df.toArrow().to_pylist()
     else:  # pragma: no cover - pyspark < 4.0 fallback
         rows = df.collect()
     by_kind: dict[str, list] = {}

@@ -272,6 +272,37 @@ def rolling_sketch_by_key(stream_df: DataFrame, key_col: str = "source",
 _MEMSINK_SEQ = [0]
 
 
+def _next_sink_name(prefix: str) -> str:
+    _MEMSINK_SEQ[0] += 1
+    return f"{prefix}_{_MEMSINK_SEQ[0]}"
+
+
+def _assert_single_data_batch(q, name: str) -> None:
+    """Fail loudly when the bounded input drained in more than one
+    data-carrying micro-batch — both harness callers' oracles assume
+    single-batch semantics (e.g. stream_dedupe_exact emits the min id
+    of the FIRST batch a digest appears in), so a maxFilesPerTrigger /
+    trigger config change must break the run, not the oracle."""
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches > 1:
+        raise AssertionError(
+            f"{name}: input drained in {data_batches} micro-batches; "
+            "the caller's oracle assumes exactly one (check "
+            "maxFilesPerTrigger / trigger configuration)")
+
+
+def _detach_sink_table(spark, name: str):
+    """Copy the settled memory-sink table out and drop the temp view —
+    the sink holds a fully materialized driver-side copy, so repeated
+    harness calls would otherwise retain one table per run for the
+    session's lifetime."""
+    table = spark.table(name)
+    rows = table.collect()
+    schema = table.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
                          output_mode: str = "complete",
                          expect_single_batch: bool = False) -> DataFrame:
@@ -292,31 +323,16 @@ def run_stream_to_memory(stream_df: DataFrame, name_prefix: str,
     of silently breaking oracle equality.
     """
     spark = stream_df.sparkSession
-    _MEMSINK_SEQ[0] += 1
-    name = f"{name_prefix}_{_MEMSINK_SEQ[0]}"
+    name = _next_sink_name(name_prefix)
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).start())
     try:
         q.processAllAvailable()
         if expect_single_batch:
-            data_batches = sum(
-                1 for p in q.recentProgress if p["numInputRows"] > 0)
-            if data_batches > 1:
-                raise AssertionError(
-                    f"{name}: input drained in {data_batches} micro-batches; "
-                    "the caller's oracle assumes exactly one (check "
-                    "maxFilesPerTrigger / trigger configuration)")
+            _assert_single_data_batch(q, name)
     finally:
         q.stop()
-    # detach the result from the memory sink so the temp view (a fully
-    # materialized copy held by the driver) can be dropped — repeated
-    # calls would otherwise retain one result table per run for the
-    # session's lifetime
-    table = spark.table(name)
-    rows = table.collect()
-    schema = table.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return _detach_sink_table(spark, name)
 
 
 def run_stream_until_rows(stream_df: DataFrame, name_prefix: str,
@@ -329,15 +345,16 @@ def run_stream_until_rows(stream_df: DataFrame, name_prefix: str,
     timeout is registered (rolling_sketch_by_key), the engine always
     reports pending state-cleanup work, so the settle-based harness
     above would hang.  Instead: poll the sink until ``min_rows`` rows
-    arrive, assert the bounded input drained in ONE data-carrying
-    micro-batch (so ``min_rows`` really is the final answer, not a
-    partial batch), stop, and hand back the settled table.
+    arrive, then wait for the SOURCE to drain (``isDataAvailable``
+    False — checked before counting batches, so a queued second
+    micro-batch cannot slip past the assertion), assert the input went
+    through in ONE data-carrying micro-batch, stop, and hand back the
+    settled table.
     """
     import time as _t
 
     spark = stream_df.sparkSession
-    _MEMSINK_SEQ[0] += 1
-    name = f"{name_prefix}_{_MEMSINK_SEQ[0]}"
+    name = _next_sink_name(name_prefix)
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).start())
     try:
@@ -348,19 +365,19 @@ def run_stream_until_rows(stream_df: DataFrame, name_prefix: str,
                     f"{name}: sink did not reach {min_rows} rows within "
                     f"{timeout_s}s (got {spark.table(name).count()})")
             _t.sleep(poll_s)
-        data_batches = sum(
-            1 for p in q.recentProgress if p["numInputRows"] > 0)
-        if data_batches > 1:
-            raise AssertionError(
-                f"{name}: input drained in {data_batches} micro-batches; "
-                "this harness' row-count completion test assumes one")
+        # a second data batch could be queued or mid-flight the moment
+        # the sink hits min_rows — wait for the source to report
+        # drained before trusting the batch count
+        while q.status.get("isDataAvailable", False):
+            if _t.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{name}: source still has data after reaching "
+                    f"{min_rows} rows — input did not drain in one batch")
+            _t.sleep(poll_s)
+        _assert_single_data_batch(q, name)
     finally:
         q.stop()
-    table = spark.table(name)
-    rows = table.collect()
-    schema = table.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return _detach_sink_table(spark, name)
 
 
 def windowed_token_rate_batch_equiv(spark, sf_dir: str,

@@ -89,8 +89,12 @@ def _install_gc_throttle() -> None:
     state = {"last_full": 0.0}
 
     def throttled_collect(generation: int = 2):
-        caller = sys._getframe(1).f_code.co_filename
-        if generation == 2 and caller.endswith("daemon.py"):
+        # only pyspark's own daemon reuse loop is throttled — a user
+        # module that happens to be called daemon.py keeps full
+        # collections (hence the package-qualified suffix match, which
+        # covers both the zip and directory pyspark layouts)
+        caller = sys._getframe(1).f_code.co_filename.replace("\\", "/")
+        if generation == 2 and caller.endswith("pyspark/daemon.py"):
             now = time.monotonic()
             if now - state["last_full"] < 10.0:
                 return real_collect(1)
@@ -101,9 +105,19 @@ def _install_gc_throttle() -> None:
     gc.collect = throttled_collect
 
 
+def _in_pyspark_worker() -> bool:
+    """True only inside a pyspark daemon/worker process (its __main__
+    is pyspark's daemon.py or worker.py — zip or directory layout)."""
+    m = sys.modules.get("__main__")
+    f = (getattr(m, "__file__", "") or "").replace("\\", "/")
+    return f.endswith(("pyspark/daemon.py", "pyspark/worker.py"))
+
+
 def ensure_worker_patched() -> None:
     """Lazy per-worker install for sessions without the fastdaemon
-    module.  Called from engine worker functions; no-op after the first
-    call in a given worker process (and no-op on the driver side too —
-    the guard is correct anywhere)."""
-    install()
+    module: importing the engine package in an EXECUTOR installs the
+    guards; importing it in the driver or any other process is a no-op,
+    so library users never get process-global patches as an import
+    side effect."""
+    if _in_pyspark_worker():
+        install()
