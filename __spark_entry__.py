@@ -78,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
         SketchSpec("kll", "tok_len"),
         SketchSpec("tdigest", "tok_len"),
         SketchSpec("dyadic", "tok_len", {"domain_bits": 13}),
+        SketchSpec("kmv", "token_id"),
     )
     res = build(toks, specs)
     rows = []
@@ -85,7 +86,7 @@ def entry(spark: SparkSession) -> DataFrame:
         kind = name.split(":")[0]
         if kind in ("quotient",):
             metric = float(sk.cardinality())
-        elif kind == "hll":
+        elif kind in ("hll", "kmv"):
             metric = float(sk.estimate())
         elif kind == "cms":
             metric = float(sk.total)
@@ -312,6 +313,20 @@ def q_lineitem_distinct_parts_exact(spark, sf_dir):
 def q_hll_cardinality(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
     return cardinality(ev, "user_id", exact=True)
+
+
+def q_kmv_cardinality(spark, sf_dir):
+    """Global distinct-token count via the KMV sketch in its EXACT
+    regime (k = 2^17 exceeds the distinct count at driver scales;
+    unsaturated KMV holds the whole hashed set), built with the
+    standard distributed two-phase aggregation.  Oracle:
+    COUNT(DISTINCT token).  At 100-TB scale the same query returns the
+    (k-1)*2^64/theta_raw estimate with ~1/sqrt(k-1) error and a
+    bounded 1 MB state."""
+    toks = token_ids(_doc_tokens(spark, sf_dir)).select("token_id")
+    res = build(toks, (SketchSpec("kmv", "token_id", {"k": 1 << 17}),))
+    est = res.sketches["kmv:token_id"].estimate()
+    return spark.createDataFrame([(int(est),)], "n_distinct long")
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
@@ -848,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "top_tokens_per_source": q_top_tokens_per_source,
         "distinct_tokens_exact": q_distinct_tokens_exact,
+        "kmv_cardinality": q_kmv_cardinality,
         "source_token_stats": q_source_token_stats,
         "qf_membership": q_qf_membership,
         "qf_exclusion_membership": q_qf_exclusion_membership,
@@ -986,6 +1002,8 @@ def oracle_sql() -> dict[str, str]:
             "   FROM c)"
             " SELECT source, token, cnt, rank FROM r WHERE rank <= 5"),
         "distinct_tokens_exact": _TOKS_CTE + (
+            " SELECT COUNT(DISTINCT token) AS n_distinct FROM tok"),
+        "kmv_cardinality": _TOKS_CTE + (
             " SELECT COUNT(DISTINCT token) AS n_distinct FROM tok"),
         "source_token_stats": (
             "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token"

@@ -142,3 +142,24 @@ def test_sql_built_state_interops_with_python_merge(spark):
     other.update(np.arange(4000, 9000))
     merged = sk.merge(other)
     assert abs(merged.estimate() - 9000) / 9000 < 0.05
+
+
+def test_sql_kmv_build_estimate_exact(spark):
+    """KMV through the SQL surface: grouped build UDF + generic estimate
+    decode; exact in the unsaturated regime."""
+    from qsketch.spark.sqlfns import register_estimate, register_sketch_build
+
+    register_sketch_build(spark, "kmv", params={"k": 4096})
+    register_estimate(spark)
+    df = spark.createDataFrame(
+        [(i % 3, i % 700) for i in range(9_000)], "g int, v long")
+    df.createOrReplaceTempView("sql_kmv_t")
+    rows = spark.sql(
+        "SELECT g, qsketch_estimate(qsketch_kmv_build(v)) AS est"
+        " FROM sql_kmv_t GROUP BY g").collect()
+    exact = {r["g"]: r["exact"] for r in spark.sql(
+        "SELECT g, COUNT(DISTINCT v) AS exact FROM sql_kmv_t GROUP BY g"
+    ).collect()}
+    assert len(rows) == 3
+    for r in rows:
+        assert r["est"] == exact[r["g"]]
