@@ -677,6 +677,73 @@ def q_multimodal_payload_metadata(spark, sf_dir):
         "media_id", "payload_bytes", "checksum")
 
 
+def q_embedding_near_duplicate_groups(spark, sf_dir):
+    """Keep-one dedup grouping over the EMBEDDING near-dup graph:
+    connected components (min-label propagation, O(diameter) rounds)
+    over the exact-cosine pair graph — the embedding-modality sibling
+    of near_duplicate_groups.  Oracle: recursive-CTE reachability
+    closure over the same pairs."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+    from qsketch.spark.textops import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = (embedding_near_duplicates(emb, threshold=0.45, method="exact")
+             .select("a", "b"))
+    comp = connected_components(pairs)
+    return (emb.select("vec_id")
+            .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("comp", F.col("vec_id")).alias("group_id")))
+
+
+def q_cms_heavy_hitters_by_source(spark, sf_dir):
+    """GROUPED heavy hitters: one CMS per source (grouped build,
+    map-side combine — no row shuffle), probed with each source's own
+    candidate set; top-5 per source by (est desc, token asc).  At
+    driver scale the 27183x7 table cannot min-collide over this
+    vocabulary, so est == exact count and the oracle checks both
+    columns exactly (the grouped extension of the cms_heavy_hitters
+    contract).  The per-group states are collected (bounded: one
+    1.5 MB blob per group) and broadcast to the probe — at millions of
+    groups, switch the probe to a state join instead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source", F.explode(F.split("text", " ")).alias("token"))
+             .where(F.col("token") != ""))
+    toks = token_ids(toks)
+    merged = build_grouped(toks.select("source", "token_id"),
+                           (SketchSpec("cms", "token_id"),), "source")
+    states = {r["group"]: bytes(r["state"]) for r in merged.collect()}
+    bc = spark.sparkContext.broadcast(states)
+
+    @pandas_udf("long")
+    def est(src, tid):
+        import numpy as np
+
+        from qsketch import base
+        from qsketch.hash import fnv1a64
+
+        out = np.zeros(len(src), dtype=np.int64)
+        for s_, idx in src.groupby(src).groups.items():
+            sk = base.from_bytes(bc.value[s_])
+            ids = tid.iloc[idx].to_numpy(dtype=np.int64)
+            out[idx] = sk.estimate(fnv1a64(ids), pre_hashed=True)
+        return pd.Series(out)
+
+    cand = (toks.groupBy("source", "token", "token_id")
+            .agg(F.count("*").alias("lower_bound")))
+    probed = cand.withColumn("est_count", est("source", "token_id"))
+    w = Window.partitionBy("source").orderBy(F.desc("est_count"),
+                                             F.asc("token"))
+    return (probed.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("source", "token", "est_count", "lower_bound", "rank")
+            .orderBy("source", "rank"))
+
+
 def q_stream_windowed_token_rate(spark, sf_dir):
     """Streaming category, driver-auditable: documents streamed through a
     real Structured Streaming query (watermarked event-time window agg,
@@ -900,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicate_groups": q_near_duplicate_groups,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "embedding_near_duplicates_lsh": q_embedding_near_duplicates_lsh,
+        "embedding_near_duplicate_groups": q_embedding_near_duplicate_groups,
+        "cms_heavy_hitters_by_source": q_cms_heavy_hitters_by_source,
         "stream_windowed_token_rate": q_stream_windowed_token_rate,
         "stream_dedupe_exact": q_stream_dedupe_exact,
         "stream_rolling_sketch": q_stream_rolling_sketch,
@@ -1119,6 +1188,31 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_duplicates": _EMB_NEAR_DUP_SQL,
         # same exact oracle: the LSH path must recover the full pair set
         "embedding_near_duplicates_lsh": _EMB_NEAR_DUP_SQL,
+        "embedding_near_duplicate_groups": (
+            # NB: the outer CTE names must not collide with the inner
+            # query's own CTEs (_EMB_NEAR_DUP_SQL defines "e")
+            "WITH RECURSIVE pairs AS (SELECT a, b FROM"
+            f" ({_EMB_NEAR_DUP_SQL}) q),"
+            " ed AS (SELECT a, b FROM pairs"
+            "   UNION ALL SELECT b AS a, a AS b FROM pairs),"
+            " reach AS (SELECT a AS id, b AS r FROM ed"
+            "   UNION SELECT reach.id, ed.b AS r FROM reach, ed"
+            "   WHERE reach.r = ed.a),"
+            " comp AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id)"
+            " SELECT v.vec_id, CAST(COALESCE(LEAST(c.id, c.m), v.vec_id)"
+            " AS BIGINT) AS group_id"
+            " FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id"),
+        "cms_heavy_hitters_by_source": (
+            "WITH toks AS (SELECT source, unnest(list_filter("
+            "  string_split(text, ' '), t -> t <> '')) AS token"
+            "  FROM documents),"
+            " cnt AS (SELECT source, token, COUNT(*) AS c FROM toks"
+            "  GROUP BY 1, 2),"
+            " ranked AS (SELECT source, token, c, ROW_NUMBER() OVER ("
+            "  PARTITION BY source ORDER BY c DESC, token ASC) AS rank"
+            "  FROM cnt)"
+            " SELECT source, token, c AS est_count, c AS lower_bound, rank"
+            " FROM ranked WHERE rank <= 5 ORDER BY source, rank"),
         "stream_windowed_token_rate": (
             # synthetic event time ts = doc_id*60 s; 1-hour epoch-aligned
             # windows -> win_start_epoch = floor(ts/3600)*3600
