@@ -295,9 +295,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     for name in ("qf_membership", "cms_heavy_hitters",
-                 "cms_heavy_hitters_sketch", "token_counts_top50",
-                 "kll_nchars_quantiles", "near_duplicates",
-                 "simhash_near_duplicates", "cosine_topk"):
+                 "cms_heavy_hitters_sketch", "cms_heavy_hitters_by_source",
+                 "token_counts_top50", "kll_nchars_quantiles",
+                 "near_duplicates", "simhash_near_duplicates",
+                 "cosine_topk", "source_token_overlap"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t

@@ -163,3 +163,18 @@ def test_lsh_paths_have_no_cartesian_product(spark):
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, f"{name}: cartesian!"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NL join!"
+
+
+def test_grouped_set_relations_broadcast_state_join(spark, tiny_df):
+    """The pairwise KMV comparison must broadcast the (tiny) state
+    frame, never shuffle-sort it: at millions of groups the states are
+    KBs/group and a SortMergeJoin of blobs would be pure overhead."""
+    from qsketch.spark.agg import SketchSpec, build_grouped
+    from qsketch.spark.queries import grouped_set_relations
+
+    merged = build_grouped(
+        tiny_df, (SketchSpec("kmv", "tokens", {"k": 1024}),), "source")
+    plan = _plan(grouped_set_relations(merged, "group"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
