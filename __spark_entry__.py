@@ -744,6 +744,59 @@ def q_cms_heavy_hitters_by_source(spark, sf_dir):
             .orderBy("source", "rank"))
 
 
+def q_multimodal_decode_features(spark, sf_dir):
+    """REAL media decode end-to-end, no codec library: even doc_ids
+    become genuine RIFF/WAVE PCM16 payloads, odd doc_ids genuine
+    24-bit BMPs — both synthesized from a closed-form generator of
+    doc_id, then DECODED FROM THE BYTES by the pure-NumPy parsers
+    (magic validation, chunk walk, row padding, BGR/bottom-up).  The
+    oracle recomputes the expected features from the same closed form,
+    so a parser that mis-handles any container quirk hash-mismatches.
+    This replaces the round-3 'stub decode' weakness for the two
+    formats a from-scratch parser can own; other formats still plug in
+    via multimodal.register_codec."""
+    import numpy as np
+    import pyarrow as pa
+
+    from qsketch.spark.codecs import encode_bmp24, encode_wav_pcm16
+    from qsketch.spark.multimodal import decode_typed_features
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        for batch in batches:
+            ids, payloads, types = [], [], []
+            for did in batch.column("doc_id").to_pylist():
+                if did % 2 == 0:
+                    rate = 8000 * (1 + did % 3)
+                    n = 300 + did % 500
+                    scale = 1 + did % 8
+                    i = np.arange(n)
+                    payloads.append(encode_wav_pcm16(
+                        ((i % 251) - 125) * scale, rate))
+                    types.append("audio")
+                else:
+                    w, h = 4 + did % 13, 3 + did % 11
+                    px = np.empty((h, w, 3), dtype=np.uint8)
+                    px[..., 0] = did % 256
+                    px[..., 1] = (did + 1) % 256
+                    px[..., 2] = (did + 2) % 256
+                    payloads.append(encode_bmp24(px))
+                    types.append("image")
+                ids.append(did)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(payloads, type=pa.binary()),
+                 pa.array(types, type=pa.string())],
+                names=["media_id", "payload", "media_type"])
+
+    media = docs.mapInArrow(
+        synth, "media_id long, payload binary, media_type string")
+    return (decode_typed_features(media)
+            .withColumnRenamed("media_id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_stream_windowed_token_rate(spark, sf_dir):
     """Streaming category, driver-auditable: documents streamed through a
     real Structured Streaming query (watermarked event-time window agg,
@@ -969,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_duplicates_lsh": q_embedding_near_duplicates_lsh,
         "embedding_near_duplicate_groups": q_embedding_near_duplicate_groups,
         "cms_heavy_hitters_by_source": q_cms_heavy_hitters_by_source,
+        "multimodal_decode_features": q_multimodal_decode_features,
         "stream_windowed_token_rate": q_stream_windowed_token_rate,
         "stream_dedupe_exact": q_stream_dedupe_exact,
         "stream_rolling_sketch": q_stream_rolling_sketch,
@@ -1202,6 +1256,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT v.vec_id, CAST(COALESCE(LEAST(c.id, c.m), v.vec_id)"
             " AS BIGINT) AS group_id"
             " FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id"),
+        "multimodal_decode_features": (
+            # expected features from the same closed-form generator the
+            # Spark side synthesizes payloads from — the Spark numbers
+            # come from PARSING the actual WAV/BMP bytes
+            "SELECT doc_id, 'audio' AS media_type,"
+            " CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate,"
+            " CAST(300 + doc_id % 500 AS BIGINT) AS n_samples,"
+            " CAST(((300 + doc_id % 500) * 1000)"
+            "   // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,"
+            " CAST(125 * (1 + doc_id % 8) AS BIGINT) AS peak,"
+            " CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,"
+            " CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,"
+            " CAST(NULL AS BIGINT) AS sum_b"
+            " FROM documents WHERE doc_id % 2 = 0"
+            " UNION ALL SELECT doc_id, 'image',"
+            " NULL, NULL, NULL, NULL,"
+            " CAST(4 + doc_id % 13 AS BIGINT),"
+            " CAST(3 + doc_id % 11 AS BIGINT),"
+            " CAST((4 + doc_id % 13) * (3 + doc_id % 11)"
+            "   * (doc_id % 256) AS BIGINT),"
+            " CAST((4 + doc_id % 13) * (3 + doc_id % 11)"
+            "   * ((doc_id + 1) % 256) AS BIGINT),"
+            " CAST((4 + doc_id % 13) * (3 + doc_id % 11)"
+            "   * ((doc_id + 2) % 256) AS BIGINT)"
+            " FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
         "cms_heavy_hitters_by_source": (
             "WITH toks AS (SELECT source, unnest(list_filter("
             "  string_split(text, ' '), t -> t <> '')) AS token"

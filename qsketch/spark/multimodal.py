@@ -93,6 +93,60 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
         fn, f"{id_col} long, features array<double>, payload_bytes long")
 
 
+TYPED_FEATURE_SCHEMA = (
+    "media_id long, media_type string, rate long, n_samples long, "
+    "duration_ms long, peak long, width long, height long, "
+    "sum_r long, sum_g long, sum_b long")
+
+
+def decode_typed_features(df: DataFrame, payload_col: str = "payload",
+                          type_col: str = "media_type",
+                          id_col: str = "media_id") -> DataFrame:
+    """REAL decode for the formats with built-in pure-NumPy parsers
+
+    (``audio`` = RIFF/WAVE PCM16, ``image`` = 24-bit BMP — see
+    :mod:`qsketch.spark.codecs`): bytes are actually parsed (magic,
+    chunk walk, row padding, BGR/bottom-up) and exact integer features
+    come out, with NULLs for the other modality's columns.  Decode is
+    inherently per-payload, so the kernel loops within each Arrow
+    batch; everything around it stays columnar.  Unknown media types
+    raise — route those through :func:`extract_features` with a
+    registered codec instead."""
+    from .codecs import decode_bmp_features, decode_wav_features
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            types = batch.column(type_col).to_pylist()
+            payloads = batch.column(payload_col).to_pylist()
+            rows = []
+            for i, t, p in zip(ids, types, payloads):
+                if t == "audio":
+                    f = decode_wav_features(p)
+                    rows.append((i, t, f["rate"], f["n_samples"],
+                                 f["duration_ms"], f["peak"],
+                                 None, None, None, None, None))
+                elif t == "image":
+                    f = decode_bmp_features(p)
+                    rows.append((i, t, None, None, None, None,
+                                 f["width"], f["height"],
+                                 f["sum_r"], f["sum_g"], f["sum_b"]))
+                else:
+                    raise ValueError(
+                        f"no built-in parser for media type {t!r}")
+            cols = list(zip(*rows)) if rows else [[]] * 11
+            names = ["media_id", "media_type", "rate", "n_samples",
+                     "duration_ms", "peak", "width", "height",
+                     "sum_r", "sum_g", "sum_b"]
+            arrays = [pa.array(cols[0], type=pa.int64()),
+                      pa.array(cols[1], type=pa.string())]
+            arrays += [pa.array(c, type=pa.int64()) for c in cols[2:]]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(id_col, payload_col, type_col).mapInArrow(
+        fn, TYPED_FEATURE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10,
                  id_col: str = "media_id") -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled

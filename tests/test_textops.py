@@ -510,3 +510,76 @@ def test_subsample_sources_mixture(spark):
     c = {r["doc_id"] for r in subsample_sources(
         df, {"half": 0.5, "none": 0.0}, seed="other").collect()}
     assert a != c
+
+
+# ---------------- pure-NumPy media codecs (round 4) -------------------------
+
+
+def test_wav_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from qsketch.spark.codecs import decode_wav_features, encode_wav_pcm16
+
+    s = ((np.arange(700) % 251) - 125) * 3
+    f = decode_wav_features(encode_wav_pcm16(s, 16000))
+    assert f == {"rate": 16000, "n_channels": 1, "n_samples": 700,
+                 "duration_ms": 700 * 1000 // 16000, "peak": 375}
+    # empty data chunk
+    f0 = decode_wav_features(encode_wav_pcm16(np.empty(0, dtype=np.int16),
+                                              8000))
+    assert f0["n_samples"] == 0 and f0["peak"] == 0
+    with pytest.raises(ValueError):
+        decode_wav_features(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav_features(b"garbage")
+    # fmt chunk present but float encoding -> explicit unsupported error
+    import struct
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav_features(bad)
+
+
+def test_wav_codec_chunk_order_and_padding():
+    """A LIST chunk with odd length before fmt/data: the walker must
+    honor word alignment and chunk order independence."""
+    import struct
+
+    import numpy as np
+
+    from qsketch.spark.codecs import decode_wav_features, encode_wav_pcm16
+
+    base = encode_wav_pcm16(np.array([1, -2, 3], dtype=np.int16), 8000)
+    fmt_and_data = base[12:]
+    odd = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # pad byte
+    payload = (b"RIFF" + struct.pack("<I", 4 + len(odd) + len(fmt_and_data))
+               + b"WAVE" + odd + fmt_and_data)
+    f = decode_wav_features(payload)
+    assert f["n_samples"] == 3 and f["peak"] == 3
+
+
+def test_bmp_codec_roundtrip_padding_and_validation():
+    import numpy as np
+    import pytest
+
+    from qsketch.spark.codecs import decode_bmp_features, encode_bmp24
+
+    # w=5 -> row_bytes 15, pad 1: exercises the padding path; gradient
+    # pixels exercise BGR + bottom-up unflipping (asymmetric content)
+    h, w = 4, 5
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    f = decode_bmp_features(encode_bmp24(px))
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["sum_r"] == int(px[..., 0].sum())
+    assert f["sum_g"] == int(px[..., 1].sum())
+    assert f["sum_b"] == int(px[..., 2].sum())
+    with pytest.raises(ValueError):
+        decode_bmp_features(b"not a bmp")
+    # 8-bit BMP header -> unsupported, not garbage output
+    import struct
+    hdr = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp_features(hdr)
