@@ -621,6 +621,21 @@ def q_sample_docs_per_source(spark, sf_dir):
             .select("source", "doc_id", "sample_rank"))
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic WEIGHTED curation sampling (Efraimidis–Spirtes
+    A-ES with md5-keyed uniforms; weight = n_chars + 1, so longer docs
+    are proportionally likelier), oracle-checked: both engines compute
+    the identical rounded priorities and therefore the identical
+    sample — rand()-weighted sampling could never be."""
+    from qsketch.spark.textops import weighted_sample_per_group
+
+    d = _docs(spark, sf_dir).withColumn(
+        "__w", F.length(F.coalesce("text", F.lit(""))) + 1)
+    return (weighted_sample_per_group(d, "__w", "source", n=5)
+            .select("source", "doc_id", "sample_rank")
+            .orderBy("source", "sample_rank"))
+
+
 def q_mix_sources(spark, sf_dir):
     """Training-mixture subsampling ("keep 30% of src0/src1, all the
     rest"), oracle-checked: the per-row keep decision is a pure function
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload_metadata": q_multimodal_payload_metadata,
         "build_lineage_totals": q_build_lineage_totals,
         "sample_docs_per_source": q_sample_docs_per_source,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "mix_sources": q_mix_sources,
         "kll_nchars_quantiles": q_kll_nchars_quantiles,
         "tdigest_nchars_quantiles": q_tdigest_nchars_quantiles,
@@ -1304,6 +1320,19 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe_exact": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,"
             " md5(text) AS digest FROM documents GROUP BY text"),
+        "weighted_sample_docs": (
+            "WITH wt AS (SELECT source, doc_id,"
+            "  LENGTH(COALESCE(text, '')) + 1 AS w FROM documents),"
+            " pr AS (SELECT source, doc_id, ROUND(POWER("
+            "  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+            "   || '#' || 'qsketch-ws'), 1, 12)) AS UBIGINT) + 1.0)"
+            "  / 281474976710656.0, 1.0 / w), 12) AS p"
+            "  FROM wt WHERE w > 0),"
+            " r AS (SELECT source, doc_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY source ORDER BY p DESC, doc_id ASC)"
+            "  AS sample_rank FROM pr)"
+            " SELECT source, doc_id, sample_rank FROM r"
+            " WHERE sample_rank <= 5 ORDER BY source, sample_rank"),
         "multimodal_payload_metadata": (
             "SELECT doc_id AS media_id,"
             " CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,"

@@ -724,6 +724,43 @@ def deterministic_sample_per_group(df: DataFrame, group_col: str,
               .where(F.col("sample_rank") <= n))
 
 
+def weighted_sample_per_group(df: DataFrame, weight_col: str,
+                              group_col: str = "source", n: int = 5,
+                              id_col: str = "doc_id",
+                              seed: str = "qsketch-ws") -> DataFrame:
+    """Reproducible WEIGHTED sampling without replacement per group —
+
+    Efraimidis–Spirtes A-ES: each row gets priority u^(1/w) with u an
+    md5-derived uniform keyed on (seed, id), and the top-n priorities
+    per group are the sample (selection probability proportional to
+    weight, e.g. quality score or length).  Like the uniform sampler
+    above, md5 keying makes the draw identical across runs,
+    partitionings, and engines (oracle-checkable — rand() is not).
+
+    Rows with weight <= 0 or NULL are excluded.  The priority is
+    ROUNDED to 12 decimals before ranking with an id tie-break, so
+    both engines rank identical values and an ulp-level pow()
+    difference cannot flip an order.  Scale shape: same
+    top-n-per-group window as deterministic_sample_per_group; only
+    (group, id, weight, priority) flow through it.
+    """
+    from pyspark.sql.window import Window
+
+    u = ((F.conv(F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.lit(seed))), 1, 12), 16, 10)
+          .cast("double") + F.lit(1.0)) / F.lit(float(1 << 48)))
+    pr = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12)
+    w = Window.partitionBy(group_col).orderBy(F.desc("__priority"),
+                                              F.asc(id_col))
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+              .withColumn("__priority", pr)
+              .withColumn("sample_rank", F.row_number().over(w))
+              .where(F.col("sample_rank") <= n)
+              .drop("__priority"))
+
+
 def subsample_sources(df: DataFrame, fractions: dict[str, float],
                       source_col: str = "source", id_col: str = "doc_id",
                       default_fraction: float = 1.0,

@@ -583,3 +583,32 @@ def test_bmp_codec_roundtrip_padding_and_validation():
            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0))
     with pytest.raises(ValueError, match="unsupported BMP"):
         decode_bmp_features(hdr)
+
+
+def test_weighted_sample_respects_weights_and_determinism(spark):
+    """A-ES sanity: across many seeds, a row with 10x the weight must be
+    selected far more often than a unit-weight row; the draw itself is
+    deterministic for a fixed seed."""
+    from qsketch.spark.textops import weighted_sample_per_group
+
+    rows = [("g", i, 10.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(30):
+        got = {r["doc_id"] for r in weighted_sample_per_group(
+            df, "w", "source", n=10, seed=f"s{s}").collect()}
+        heavy_hits += sum(1 for i in got if i < 10)
+        light_hits += sum(1 for i in got if i >= 10)
+    # heavy rows are 10% of the population with 10x weight: their
+    # expected share of the sample is far above light rows' per-capita
+    assert heavy_hits / 10 > 2.5 * (light_hits / 90)
+    a = weighted_sample_per_group(df, "w", "source", n=10).collect()
+    b = weighted_sample_per_group(df, "w", "source", n=10).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    # zero/NULL weights are excluded
+    df2 = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, None), ("g", 3, 2.0)],
+        "source string, doc_id long, w double")
+    got2 = [r["doc_id"] for r in weighted_sample_per_group(
+        df2, "w", "source", n=3).collect()]
+    assert got2 == [3]
