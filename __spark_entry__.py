@@ -736,14 +736,24 @@ def q_cms_heavy_hitters_by_source(spark, sf_dir):
 
     @pandas_udf("long")
     def est(src, tid):
+        import builtins
+
         import numpy as np
 
         from qsketch import base
         from qsketch.hash import fnv1a64
 
+        # per-executor-process deserialization cache: without it every
+        # (group, batch) pair re-parses the same ~1.5 MB CMS table
+        cache = getattr(builtins, "_QSKETCH_GROUP_SK_CACHE", None)
+        if cache is None or cache.get("__id") != id(bc.value):
+            cache = {"__id": id(bc.value)}
+            builtins._QSKETCH_GROUP_SK_CACHE = cache
         out = np.zeros(len(src), dtype=np.int64)
         for s_, idx in src.groupby(src).groups.items():
-            sk = base.from_bytes(bc.value[s_])
+            sk = cache.get(s_)
+            if sk is None:
+                sk = cache[s_] = base.from_bytes(bc.value[s_])
             ids = tid.iloc[idx].to_numpy(dtype=np.int64)
             out[idx] = sk.estimate(fnv1a64(ids), pre_hashed=True)
         return pd.Series(out)

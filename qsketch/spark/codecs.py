@@ -42,8 +42,14 @@ def decode_wav_features(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > len(payload):
+            # a lying chunk length must reject the payload, not
+            # silently truncate the sample data
+            raise ValueError(f"WAV chunk {cid!r} overruns the payload")
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -54,6 +60,9 @@ def decode_wav_features(payload: bytes) -> dict:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, "
                          f"bits={bits}); only PCM16 is built in")
+    if rate <= 0 or n_channels <= 0:
+        raise ValueError(f"invalid WAV fmt (rate={rate}, "
+                         f"channels={n_channels})")
     samples = np.frombuffer(data, dtype="<i2")
     n = len(samples) // n_channels
     return {
@@ -100,6 +109,10 @@ def decode_bmp_features(payload: bytes) -> dict:
                          "only uncompressed 24-bit is built in")
     if h <= 0 or w <= 0:
         raise ValueError("top-down/degenerate BMP not supported")
+    if data_off < 54 or data_off > len(payload):
+        # an offset inside the header would "parse" header bytes as
+        # pixels and return garbage sums with no error
+        raise ValueError(f"BMP data offset {data_off} out of range")
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
     raw = np.frombuffer(payload, dtype=np.uint8,

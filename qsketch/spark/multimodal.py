@@ -121,6 +121,14 @@ def decode_typed_features(df: DataFrame, payload_col: str = "payload",
             payloads = batch.column(payload_col).to_pylist()
             rows = []
             for i, t, p in zip(ids, types, payloads):
+                if p is None or t is None:
+                    # NULL payloads are real (failed fetches) — fail
+                    # with the offending row named, not a TypeError
+                    # deep inside a codec
+                    raise ValueError(
+                        f"media_id={i}: NULL "
+                        f"{'payload' if p is None else 'media_type'}; "
+                        "filter or repair rows before decode")
                 if t == "audio":
                     f = decode_wav_features(p)
                     rows.append((i, t, f["rate"], f["n_samples"],

@@ -753,8 +753,11 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str,
     pr = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12)
     w = Window.partitionBy(group_col).orderBy(F.desc("__priority"),
                                               F.asc(id_col))
-    return (df.where(F.col(weight_col).isNotNull()
-                     & (F.col(weight_col) > 0))
+    wd = F.col(weight_col).cast("double")
+    # NaN sorts above every number in Spark AND passes (w > 0), so an
+    # unguarded NaN weight (e.g. 0.0/0.0 from a derived score) would
+    # hijack rank 1 of every group
+    return (df.where(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
               .withColumn("__priority", pr)
               .withColumn("sample_rank", F.row_number().over(w))
               .where(F.col("sample_rank") <= n)
