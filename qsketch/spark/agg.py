@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -249,10 +250,25 @@ def _pin_ckpt_slicing(ckpt_dir: str, run_id: str, meta: dict) -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = _json.load(fh)
+        # The core key must ALWAYS be present: an empty or corrupt pin
+        # ({}) would otherwise "validate" any resume via the
+        # grandfathering path below — a silently unprotected resume.
+        if "n_tasks" not in prev:
+            raise ValueError(
+                f"checkpoint {run_id!r} has a corrupt slicing pin "
+                f"({meta_path}: missing 'n_tasks') — cannot verify the "
+                "resume is safe. Use a new run_id.")
         # grandfather pins written before a new meta key existed: only
         # the keys the old pin recorded participate in the comparison
         # (a pin can gain stricter keys across versions without
-        # invalidating every in-flight checkpoint)
+        # invalidating every in-flight checkpoint) — but say so, so a
+        # resume that silently skipped a newer check is visible
+        skipped = sorted(set(meta) - set(prev))
+        if skipped:
+            warnings.warn(
+                f"checkpoint {run_id!r}: slicing pin predates key(s) "
+                f"{skipped}; accepting resume on the pin's recorded "
+                "keys only", stacklevel=2)
         meta_cmp = {k: v for k, v in meta.items() if k in prev}
         if prev != meta_cmp:
             raise ValueError(

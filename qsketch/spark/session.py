@@ -31,11 +31,25 @@ _ALLOC_ENV = {
 
 def make_session(cpus: int, app: str = "qsketch", driver_mem: str = "16g",
                  arrow_batch: int = 16384, fast_worker: bool = True,
-                 **extra_conf):
+                 master: str | None = None, **extra_conf):
+    """Build the engine's SparkSession.
+
+    ``master`` defaults to ``local[cpus]``.  The fast-worker daemon
+    module (and the PYTHONPATH plumbing it needs) is only wired for
+    LOCAL masters: on a cluster the driver-local package root is not a
+    valid executor path, and a daemon module that cannot import qsketch
+    kills every python task.  Cluster deployments ship the package via
+    ``spark-submit --py-files qsketch.zip`` (see cli.py / the e2e test)
+    and get the same patch through the lazy in-worker fallback
+    (workerpatch.ensure_worker_patched on first qsketch import).
+    """
     from pyspark.sql import SparkSession
 
+    master = master or f"local[{cpus}]"
+    is_local = master.startswith("local")
     os.environ.update(_ALLOC_ENV)  # driver side + inherited by the JVM
-    if fast_worker and os.environ.get("QSKETCH_FAST_WORKER", "1") != "0":
+    if (fast_worker and is_local
+            and os.environ.get("QSKETCH_FAST_WORKER", "1") != "0"):
         # daemon module with the per-task protocol fix pre-installed
         # (workerpatch.py: guarded importlib.invalidate_caches, ~210 ms
         # saved per python-runner task on this stack).  The daemon
@@ -53,7 +67,7 @@ def make_session(cpus: int, app: str = "qsketch", driver_mem: str = "16g",
                               "qsketch.spark.fastdaemon")
         extra_conf.setdefault("spark.executorEnv.PYTHONPATH",
                               os.environ["PYTHONPATH"])
-    b = (SparkSession.builder.master(f"local[{cpus}]").appName(app)
+    b = (SparkSession.builder.master(master).appName(app)
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.session.timeZone", "UTC")  # NTZ casts and
          # epoch arithmetic must not depend on the host's zone

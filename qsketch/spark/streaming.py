@@ -291,12 +291,32 @@ def _assert_single_data_batch(q, name: str) -> None:
             "maxFilesPerTrigger / trigger configuration)")
 
 
-def _detach_sink_table(spark, name: str):
+#: `_detach_sink_table` refuses to copy more rows than this to the
+#: driver.  The memory sink itself is already a driver-side
+#: materialization, but the detach re-collects it through the Python
+#: driver — an unbounded stream-to-memory caller would otherwise OOM
+#: the driver silently.  Generous for a test/oracle harness (the
+#: contract rows are ≤ a few thousand); raise explicitly for a
+#: deliberate larger run.
+_SINK_DETACH_ROW_CAP = 200_000
+
+
+def _detach_sink_table(spark, name: str, row_cap: int = _SINK_DETACH_ROW_CAP):
     """Copy the settled memory-sink table out and drop the temp view —
     the sink holds a fully materialized driver-side copy, so repeated
     harness calls would otherwise retain one table per run for the
-    session's lifetime."""
+    session's lifetime.  Guarded by ``row_cap``: the copy doubles the
+    sink's driver footprint through the Python side, so an over-cap
+    table fails loudly instead of OOMing the driver."""
     table = spark.table(name)
+    n = table.count()
+    if n > row_cap:
+        spark.catalog.dropTempView(name)
+        raise RuntimeError(
+            f"memory sink {name!r} holds {n} rows > detach cap {row_cap}; "
+            "the stream-to-memory harness is for bounded test/oracle "
+            "inputs — write large streams to a file sink instead (or "
+            "pass an explicit row_cap)")
     rows = table.collect()
     schema = table.schema
     spark.catalog.dropTempView(name)

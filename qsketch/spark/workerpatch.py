@@ -71,18 +71,53 @@ def install() -> None:
     _install_gc_throttle()
 
 
+#: pending gen-2 container count above which a deferred full collection
+#: runs anyway (so a cycle-heavy user UDF workload sharing the session
+#: cannot accumulate unbounded garbage for up to 10 s).  CPython's own
+#: automatic gen-2 trigger fires around long_lived_pending >
+#: long_lived_total/4; 50k pending containers is far below any RSS that
+#: matters (~a few MB) while still amortizing the 68 ms full collect
+#: over hundreds of tasks for acyclic workloads.
+_GC_FULL_PENDING_THRESHOLD = 50_000
+
+
+def _gc_throttle_enabled() -> bool:
+    """The throttle rewrites process-global ``gc.collect`` in every
+    worker; workloads whose UDF objects form reference cycles
+    (pandas/user classes) can opt out with ``QSKETCH_GC_THROTTLE=0``
+    (propagate via ``spark.executorEnv.QSKETCH_GC_THROTTLE`` on a real
+    cluster; local mode inherits the driver environment)."""
+    return os.environ.get("QSKETCH_GC_THROTTLE", "1").lower() not in (
+        "0", "false", "off", "no")
+
+
+def _due_for_full(state: dict, now: float, gen2_pending: int) -> bool:
+    """A daemon-loop full collection runs when EITHER 10 s have passed
+    since the last one OR the pending gen-2 container count crossed
+    :data:`_GC_FULL_PENDING_THRESHOLD` — allocation pressure bounds the
+    deferral, not only wall time."""
+    return (now - state["last_full"] >= 10.0
+            or gen2_pending >= _GC_FULL_PENDING_THRESHOLD)
+
+
 def _install_gc_throttle() -> None:
     """pyspark's daemon reuse loop runs a FULL ``gc.collect()`` after
     every task — measured 68 ms/task here (the worker heap holds ~1M
     objects from the pyspark/pyarrow imports alone).  Only the daemon
     loop's calls are throttled: generation-1 normally, a real full
-    collection at most every 10 s.  Engine allocations are acyclic
-    NumPy/Arrow buffers freed by refcount, so deferring full cycles is
-    safe; any OTHER caller of gc.collect (user code managing memory)
-    still gets exactly what it asked for."""
+    collection when either 10 s have passed OR the pending gen-2
+    container count crosses :data:`_GC_FULL_PENDING_THRESHOLD` (so the
+    deferral is bounded by allocation pressure, not only wall time).
+    Engine allocations are acyclic NumPy/Arrow buffers freed by
+    refcount, so deferring full cycles is safe; any OTHER caller of
+    gc.collect (user code managing memory) still gets exactly what it
+    asked for, and ``QSKETCH_GC_THROTTLE=0`` disables the throttle
+    entirely for mixed-workload sessions."""
     import gc
     import time
 
+    if not _gc_throttle_enabled():
+        return
     if getattr(gc.collect, _STATE_ATTR, False):
         return
     real_collect = gc.collect
@@ -96,7 +131,7 @@ def _install_gc_throttle() -> None:
         caller = sys._getframe(1).f_code.co_filename.replace("\\", "/")
         if generation == 2 and caller.endswith("pyspark/daemon.py"):
             now = time.monotonic()
-            if now - state["last_full"] < 10.0:
+            if not _due_for_full(state, now, gc.get_count()[2]):
                 return real_collect(1)
             state["last_full"] = now
         return real_collect(generation)

@@ -531,3 +531,34 @@ def test_grouped_kmv_saturated_estimates(spark, tiny_df):
             assert est[src] == n
         else:
             assert abs(est[src] - n) / n < 6 / (255 ** 0.5)
+
+
+def test_ckpt_pin_corrupt_and_grandfathered(tmp_path):
+    """An empty/corrupt slicing pin must fail loudly (it would otherwise
+    'validate' any resume via grandfathering); a legitimate old pin that
+    predates a newer meta key is accepted but emits a visible warning."""
+    import json
+    import os
+    import warnings as _w
+
+    from qsketch.spark.agg import _pin_ckpt_slicing
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ck, "r1"))
+    # corrupt pin: {} must not validate anything
+    with open(os.path.join(ck, "r1", "_slicing.json"), "w") as fh:
+        json.dump({}, fh)
+    with pytest.raises(ValueError, match="corrupt slicing pin"):
+        _pin_ckpt_slicing(ck, "r1", {"n_tasks": 8, "plan_fingerprint": "x"})
+
+    # grandfathered pin (pre-plan_fingerprint era): accepted with warning
+    os.makedirs(os.path.join(ck, "r2"))
+    with open(os.path.join(ck, "r2", "_slicing.json"), "w") as fh:
+        json.dump({"n_tasks": 8}, fh)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        _pin_ckpt_slicing(ck, "r2", {"n_tasks": 8, "plan_fingerprint": "x"})
+    assert any("predates key" in str(r.message) for r in rec)
+    # and the pinned core key still protects: mismatch raises
+    with pytest.raises(ValueError, match="mis-map"):
+        _pin_ckpt_slicing(ck, "r2", {"n_tasks": 2, "plan_fingerprint": "x"})

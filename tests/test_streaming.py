@@ -270,3 +270,23 @@ def test_stream_dedupe_exact_first_seen(spark, tmp_path):
         assert after == {1, 2, 11}
     finally:
         q.stop()
+
+
+def test_detach_sink_cap_guards_driver(spark):
+    """`_detach_sink_table` must refuse (loudly) to copy an over-cap
+    table to the driver, and must still drop the temp view so the
+    failed harness run does not leak a materialized table for the
+    session's lifetime."""
+    from qsketch.spark.streaming import _detach_sink_table
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.createOrReplaceTempView("cap_probe")
+    with pytest.raises(RuntimeError, match="detach cap"):
+        _detach_sink_table(spark, "cap_probe", row_cap=5)
+    assert "cap_probe" not in [t.name for t in spark.catalog.listTables()]
+
+    # under the cap: full round trip
+    df.createOrReplaceTempView("cap_probe2")
+    out = _detach_sink_table(spark, "cap_probe2", row_cap=100)
+    assert sorted(r["v"] for r in out.collect()) == list(range(10))
+    assert "cap_probe2" not in [t.name for t in spark.catalog.listTables()]

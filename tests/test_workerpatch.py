@@ -83,3 +83,35 @@ def test_gc_throttle_only_affects_pyspark_daemon_callers():
     finally:
         importlib.invalidate_caches = real_inv
         gc.collect = real_gc
+
+
+def test_gc_throttle_env_opt_out(monkeypatch):
+    """QSKETCH_GC_THROTTLE=0 must leave gc.collect untouched so
+    cycle-heavy non-qsketch workloads sharing the session can opt out
+    of deferred full collections."""
+    from qsketch.spark import workerpatch
+
+    real_inv, real_gc = importlib.invalidate_caches, gc.collect
+    try:
+        monkeypatch.setenv("QSKETCH_GC_THROTTLE", "0")
+        workerpatch.install()
+        assert gc.collect is real_gc  # not wrapped
+    finally:
+        importlib.invalidate_caches = real_inv
+        gc.collect = real_gc
+
+
+def test_gc_throttle_pending_threshold_forces_full(monkeypatch):
+    """Within the 10 s window, crossing the pending gen-2 container
+    threshold must still trigger a real full collection (the deferral
+    is bounded by allocation pressure, not only wall time)."""
+    from qsketch.spark import workerpatch
+
+    state = {"last_full": 100.0}
+    # inside the window, low pressure: deferred (gen-1 path)
+    assert not workerpatch._due_for_full(state, 105.0, gen2_pending=10)
+    # inside the window, pressure crossed: full collection anyway
+    monkeypatch.setattr(workerpatch, "_GC_FULL_PENDING_THRESHOLD", 1000)
+    assert workerpatch._due_for_full(state, 105.0, gen2_pending=1000)
+    # window expired: full collection regardless of pressure
+    assert workerpatch._due_for_full(state, 111.0, gen2_pending=0)
