@@ -28,3 +28,16 @@ def test_query_runs_on_smallest_sf(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0 and df.columns
+
+
+def test_kmv_saturated_overlap_envelopes_hold(spark):
+    """The saturated-regime KMV row's in-query 6-sigma envelopes must
+    all hold (and the regime must genuinely be saturated) — this is the
+    contract-level accuracy evidence for the estimator's 100-TB regime."""
+    rows = entrymod.q_kmv_saturated_overlap(spark, SF_DIR).collect()
+    assert len(rows) == 190  # C(20,2) source pairs
+    for r in rows:
+        assert r["saturated"], (r["a"], r["b"])
+        assert r["union_ok"], (r["a"], r["b"])
+        assert r["jaccard_ok"], (r["a"], r["b"])
+        assert r["intersection_ok"], (r["a"], r["b"])
