@@ -298,10 +298,18 @@ def main() -> None:
                  "cms_heavy_hitters_sketch", "cms_heavy_hitters_by_source",
                  "token_counts_top50", "kll_nchars_quantiles",
                  "near_duplicates", "simhash_near_duplicates",
-                 "cosine_topk", "source_token_overlap"):
+                 "cosine_topk", "source_token_overlap",
+                 "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
+                 "sample_docs_per_source", "mix_sources"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t
+    # streaming row: single-sample (the harness runs a real
+    # micro-batch query to a memory sink; medians would triple an
+    # already multi-second fixed engine-startup cost for no signal)
+    fn = entrymod.queries()["stream_windowed_token_rate"]
+    t, _ = _timed(lambda: fn(spark, SF_DIR).collect())
+    queries["stream_windowed_token_rate"] = t
     spark.stop()
 
     # ---- scaling: the SAME job at task-parallelism 2 vs 8 inside ONE
@@ -345,8 +353,10 @@ def main() -> None:
         for par in levels:
             bw[par].append(_membw_control(s, par))
     if diag:
+        # >= 3 samples: r4 shipped tasks32 with only 2 ([2.2 s, 10.3 s]
+        # — a coin flip between a clean and a degraded host phase)
         times[diag], n_tok_by[diag], bw[diag] = [], n_tok_by[8], []
-        for _ in range(2):
+        for _ in range(3):
             t, r = _timed(lambda: build_files(s, CACHE, DEFAULT_SPECS,
                                               parallelism=diag))
             times[diag].append(t)
@@ -377,8 +387,12 @@ def main() -> None:
     pool_ctl = _processpool_scaling_control(
         sorted(_glob.glob(os.path.join(CACHE, "*.parquet"))),
         rounds=int(os.environ.get("QSKETCH_POOL_ROUNDS", "3")))
+    # 5 fixed rounds (up from 3): r4's artifact met the ≥0.8 bar by 1.4
+    # points with one sub-0.8 round — more K tightens min-of-K under
+    # additive noise and the spread shows whether any round dipped.
+    # Still fixed up front: no optional stopping.
     pinned = _pinned_jvm_scaling(
-        CACHE, rounds=int(os.environ.get("QSKETCH_PINNED_ROUNDS", "3")))
+        CACHE, rounds=int(os.environ.get("QSKETCH_PINNED_ROUNDS", "5")))
 
     eff_2_8 = _effs(2, 8, times)
     bw_2_8 = _effs(2, 8, bw, invert=True)  # bandwidth: higher is better

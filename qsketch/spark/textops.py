@@ -229,25 +229,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         fn, f"{id_col} long, sig array<long>")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 32, rows: int = 4,
-                        max_bucket: int | None = None) -> DataFrame:
-    """Band the signatures and self-join on (band, band-signature).
-
-    Only (band_id, 8-byte band hash, id) rows shuffle.  Output: distinct
-    (a, b) candidate id pairs with a < b.
-
-    ``max_bucket`` guards the self-join against quadratic hot buckets
-    (boilerplate-heavy corpora put thousands of near-identical docs in
-    one (band, key) bucket): buckets larger than the cap are dropped
-    via a broadcast anti-join on the (few) oversized keys.  Pairs inside
-    a dropped bucket are still found through any of the other bands
-    unless they are near-identical across ALL bands — run exact dedup
-    first (dedupe_exact) to remove those, which is the standard pipeline
-    order.  Capping is lossy, so it is OPT-IN (default None = unbounded
-    recall); at web scale SET a cap (e.g. 500) and audit what it drops
-    with :func:`oversized_buckets` on the same signatures.
-    """
+def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
+                      bands: int = 32, rows: int = 4) -> DataFrame:
+    """The keyed LSH frame (id, band, band_key) that
+    :func:`lsh_candidate_pairs` self-joins on — public so callers can
+    audit cap losses (``oversized_buckets(banded_signatures(sigs),
+    ("band", "band_key"), cap)``) with the exact keys a capped run
+    uses."""
     def band_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         maxu = np.iinfo(np.uint64).max
         for batch in batches:
@@ -283,7 +271,30 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                  pa.array(np.concatenate(out_key))],
                 names=[id_col, "band", "band_key"])
 
-    banded = sig_df.mapInArrow(band_fn, f"{id_col} long, band int, band_key long")
+    return sig_df.mapInArrow(band_fn,
+                             f"{id_col} long, band int, band_key long")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 32, rows: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Band the signatures and self-join on (band, band-signature).
+
+    Only (band_id, 8-byte band hash, id) rows shuffle.  Output: distinct
+    (a, b) candidate id pairs with a < b.
+
+    ``max_bucket`` guards the self-join against quadratic hot buckets
+    (boilerplate-heavy corpora put thousands of near-identical docs in
+    one (band, key) bucket): buckets larger than the cap are dropped
+    via a broadcast anti-join on the (few) oversized keys.  Pairs inside
+    a dropped bucket are still found through any of the other bands
+    unless they are near-identical across ALL bands — run exact dedup
+    first (dedupe_exact) to remove those, which is the standard pipeline
+    order.  Capping is lossy, so it is OPT-IN (default None = unbounded
+    recall); at web scale SET a cap (e.g. 500) and audit what it drops
+    with :func:`oversized_buckets` over :func:`banded_signatures`.
+    """
+    banded = banded_signatures(sig_df, id_col, bands, rows)
     banded = _cap_buckets(banded, ("band", "band_key"), max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -442,55 +453,110 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         fn, f"{id_col} long, fingerprints array<long>, n_fp int")
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         work_dir: str | None = None) -> DataFrame:
     """(id, comp) for every node in the (a, b) pair graph; comp = the
 
     minimum id in the node's connected component.  Distributed
-    min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels — converges in O(graph
-    diameter) rounds (near-dup clusters are near-cliques, so 1-3).
-    Only (id, label) pairs shuffle; each round is one join + one
-    groupBy over the edge set."""
-    from pyspark import StorageLevel
+    min-label propagation with PATH HALVING: each round every node
+    takes the min of its own label and its neighbors' labels, then
+    jumps to its label's label (comp := comp[comp]) — so convergence is
+    O(log diameter) rounds, not O(diameter).  Near-dup clusters are
+    near-cliques (1-3 rounds either way), but a capped-bucket candidate
+    graph can be a long sparse chain through a big cluster — measured:
+    a 2,000-doc cluster under max_bucket=64 yields a graph plain
+    propagation cannot finish in 25 rounds; path halving closes it in
+    a handful.  Only (id, label) pairs shuffle; each round is two
+    joins + one groupBy over the edge set.
 
-    # both edge directions in ONE pass over pairs (a union would
-    # materialize the upstream pair plan twice before the persist)
-    sym = (pairs.select(F.explode(F.array(
+    Each round the label frame is CHECKPOINTED through parquet (the
+    standard hardened checkpoint for iterative Spark algorithms), for
+    two reasons measured on a large candidate graph, both with
+    sub-second task time:
+
+    * ``persist`` alone keeps the logical plan, so every round Catalyst
+      re-analyzes a plan that chains over all previous rounds AND the
+      whole upstream LSH pipeline — 60-110 s of driver time per round
+      by round ~6.
+    * ``localCheckpoint`` truncates the plan but REWRITES the old
+      plan's statistics onto the checkpoint node, and the non-CBO size
+      estimator multiplies join children (SizeInBytesOnlyStatsPlanVisitor
+      visitJoin/default), so inherited ``sizeInBytes`` grows like
+      s^(2^round) — by round ~15 the driver burns minutes doing
+      BigInteger divisions inside stats estimation (jstack'd).  A
+      parquet scan resets stats to the real file size.
+
+    ``work_dir``: scratch directory for the round checkpoints.  Default
+    (None) uses a driver-local temp dir, correct for local[N]; on a
+    multi-node cluster pass a cluster-visible path (HDFS/S3).  The
+    returned frame is localCheckpoint-materialized, so the scratch dir
+    is deleted before returning (only when it was created here)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    own_tmp = work_dir is None
+    if own_tmp:
+        work_dir = tempfile.mkdtemp(prefix="qsketch-cc-")
+
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(work_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    try:
+        # both edge directions in ONE pass over pairs (a union would
+        # materialize the upstream pair plan twice)
+        sym = _ckpt(
+            pairs.select(F.explode(F.array(
                 F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
                 F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
-            .alias("e"))
-           .select("e.src", "e.dst")
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    labels.count()
-    changed = -1
-    for _ in range(max_iter):
-        nbr_min = (sym.join(labels.select(F.col("id").alias("dst"),
-                                          F.col("comp").alias("__nc")),
-                            "dst")
-                   .groupBy(F.col("src").alias("id"))
-                   .agg(F.min("__nc").alias("__nbr")))
-        new = (labels.join(nbr_min, "id", "left")
-               .select("id", F.least(
-                   F.col("comp"),
-                   F.coalesce(F.col("__nbr"), F.col("comp"))).alias("comp"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
-    sym.unpersist()
-    if changed != 0:
-        labels.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the pair graph has a "
-            f"longer diameter than expected; raise max_iter")
-    return labels
+                .alias("e"))
+            .select("e.src", "e.dst"), "sym")
+        labels = _ckpt(sym.select(F.col("src").alias("id")).distinct()
+                       .withColumn("comp", F.col("id")), "labels-0")
+        changed = -1
+        for i in range(max_iter):
+            nbr_min = (sym.join(labels.select(F.col("id").alias("dst"),
+                                              F.col("comp").alias("__nc")),
+                                "dst")
+                       .groupBy(F.col("src").alias("id"))
+                       .agg(F.min("__nc").alias("__nbr")))
+            prop = (labels.join(nbr_min, "id", "left")
+                    .select("id", F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("__nbr"),
+                                   F.col("comp"))).alias("comp")))
+            # path halving: comp := min(comp, comp[comp]).  Labels are
+            # node ids, so every label has a row; monotone
+            # non-increasing and bounded below by the component min,
+            # hence still correct — and a stable state is reachable
+            # only when every node carries the component min.
+            hop = prop.select(F.col("id").alias("comp"),
+                              F.col("comp").alias("__cc"))
+            new = _ckpt(prop.join(hop, "comp", "left")
+                        .select("id", F.least(
+                            F.col("comp"),
+                            F.coalesce(F.col("__cc"),
+                                       F.col("comp"))).alias("comp")),
+                        f"labels-{i + 1}")
+            changed = (new.alias("n").join(labels.alias("o"), "id")
+                       .where(F.col("n.comp") != F.col("o.comp")).count())
+            labels = new
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing) — the pair "
+                "graph has a longer diameter than expected; raise "
+                "max_iter")
+        # materialize off the scratch files so the dir can be removed
+        return labels.localCheckpoint(eager=True)
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)
 
 
 def near_duplicate_groups(df: DataFrame, text_col: str = "text",

@@ -358,6 +358,22 @@ def test_connected_components_chain_and_groups(spark):
                     20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_deep_path_converges(spark):
+    """PATH HALVING must close a path graph whose diameter far exceeds
+    max_iter: 300 nodes in a chain (diameter 299) within the default 25
+    rounds — plain per-round propagation would need 299.  Also guards
+    the per-round parquet checkpoint (lineage + join-size stats reset):
+    without it, driver planning time per round grows without bound."""
+    from qsketch.spark.textops import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                  "a long, b long")
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == 300
+    assert {r["comp"] for r in rows} == {0}
+
+
 def test_near_duplicate_groups(docs):
     from qsketch.spark.textops import near_duplicate_groups
 
