@@ -281,9 +281,16 @@ def main() -> None:
     extras["tokens_per_sec"] = tput["local8"]
     extras["qf_cardinality"] = res.sketches["quotient:tokens"].cardinality()
 
-    # row-path (DataFrame scan) comparison at the same core count
-    t_row, _ = _timed(lambda: build(
-        spark.read.parquet(CACHE), DEFAULT_SPECS))
+    # row-path (DataFrame scan) comparison at the same core count.
+    # Warmed + median-of-K like the file path: r4 recorded a single
+    # unwarmed sample (7.04 s vs 4.00 s file-direct = 1.76x) and called
+    # it a conversion-cost gap; an interleaved min-of-4 A/B shows the
+    # warm rowpath is ~1.16x file-direct at the DEFAULT
+    # columnarReaderBatchSize (4096) — and RAISING that batch size
+    # hurts (16k -> 1.37x, 64k -> 1.66x), so no conf override is set.
+    rdf = spark.read.parquet(CACHE)
+    _timed(lambda: build(rdf, DEFAULT_SPECS))  # warm the row path
+    t_row, _, _ = _median_timed(lambda: build(rdf, DEFAULT_SPECS))
     queries["build_all_sketches_rowpath"] = t_row
 
     t_grouped, _ = _timed(lambda: build_grouped_files(
