@@ -294,7 +294,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     recall); at web scale SET a cap (e.g. 500) and audit what it drops
     with :func:`oversized_buckets` over :func:`banded_signatures`.
     """
-    banded = banded_signatures(sig_df, id_col, bands, rows)
+    return _pairs_from_banded(banded_signatures(sig_df, id_col, bands, rows),
+                              id_col, max_bucket)
+
+
+def _pairs_from_banded(banded: DataFrame, id_col: str,
+                       max_bucket: int | None) -> DataFrame:
+    """Capped bucket self-join over an already-banded frame (shared by
+    lsh_candidate_pairs and the rescue path, which needs the banded
+    frame twice and must not band the signatures twice)."""
     banded = _cap_buckets(banded, ("band", "band_key"), max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -375,11 +383,41 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
             .select("a", "b", "jaccard"))
 
 
+def oversized_bucket_star_pairs(banded: DataFrame, id_col: str = "doc_id",
+                                max_bucket: int = 500) -> DataFrame:
+    """STAR candidate pairs (bucket-min id, member id) for every bucket
+    a ``max_bucket`` cap drops — the linear-cost rescue path for
+    flooded clusters.
+
+    A cluster of near-identical docs shares its band minima, so it
+    floods one (band, key) bucket per band and a capped run drops ALL
+    its pairs (measured in tools/drill_skew.py: the 10%-cluster's
+    49.6 M candidate pairs all sit in 32 oversized buckets).  Pairing
+    every member with its bucket's minimum id instead costs
+    O(sum of oversized bucket sizes) — linear, not quadratic — and
+    connects the cluster THROUGH the representative.  Feed the output
+    through the same exact verify as the capped candidates: co-bucketed
+    docs are only minhash-collision-similar, so the star pairs carry no
+    similarity guarantee until verified; members whose similarity to
+    the representative is below threshold stay out (still
+    capped-recall, but the cluster core is recovered)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key")
+    over = (banded.withColumn("__n", F.count("*").over(w))
+                  .where(F.col("__n") > max_bucket)
+                  .withColumn("__rep", F.min(id_col).over(w)))
+    return (over.where(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
+            .distinct())
+
+
 def near_duplicates(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 3,
                     threshold: float = 0.8, num_perm: int = 128,
                     bands: int = 32, rows: int = 4,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None = None,
+                    rescue_oversized: bool = False) -> DataFrame:
     """MinHash LSH -> exact-Jaccard verify.  With the default banding the
 
     miss probability at sim>=0.8 is <1e-7, so the output matches the
@@ -390,11 +428,30 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     SIMILAR-but-not-identical docs floods every band (exact dedup does
     not remove those) — that would break this function's exact-match
     contract.  At web scale, SET max_bucket (e.g. 500) and accept
-    capped-recall semantics, or the degenerate cluster goes quadratic."""
+    capped-recall semantics, or the degenerate cluster goes quadratic.
+
+    ``rescue_oversized`` (needs ``max_bucket``) additionally pairs each
+    dropped bucket's members with the bucket's min-id representative
+    (:func:`oversized_bucket_star_pairs`) before the exact verify —
+    O(bucket size) extra verifies instead of the O(bucket^2) the cap
+    avoided, and every emitted pair still satisfies the Jaccard
+    threshold.  With a downstream connected-components grouping this
+    recovers a flooded near-identical cluster through its
+    representative."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
+    if rescue_oversized:
+        if max_bucket is None:
+            raise ValueError("rescue_oversized requires max_bucket")
+        banded = (banded_signatures(sigs, id_col, bands, rows)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        cands = (_pairs_from_banded(banded, id_col, max_bucket)
+                 .union(oversized_bucket_star_pairs(banded, id_col,
+                                                    max_bucket))
+                 .distinct())
+    else:
+        cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
     # the verify consumes candidates twice (id pruning + pair join);
     # persist the small pair set so LSH generation runs once.  Spark's
     # ContextCleaner unpersists it once the plan is garbage-collected,
@@ -563,15 +620,21 @@ def near_duplicate_groups(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", shingle_n: int = 3,
                           threshold: float = 0.8,
                           max_bucket: int | None = None,
-                          max_iter: int = 25) -> DataFrame:
+                          max_iter: int = 25,
+                          rescue_oversized: bool = False) -> DataFrame:
     """Dedup grouping: every doc mapped to its near-duplicate group
 
     representative (the min id of its connected component in the
     near-duplicate pair graph); docs with no near-dup map to
     themselves.  Downstream keep-one dedup is then
-    ``.where(doc_id == group_id)``."""
+    ``.where(doc_id == group_id)``.  At web scale set ``max_bucket``
+    AND ``rescue_oversized=True``: the cap bounds the bucket self-join,
+    the rescue recovers capped (flooded) clusters through their bucket
+    representative at linear cost, still exact-verified."""
     pairs = near_duplicates(df, text_col, id_col, shingle_n, threshold,
-                            max_bucket=max_bucket).select("a", "b")
+                            max_bucket=max_bucket,
+                            rescue_oversized=rescue_oversized
+                            ).select("a", "b")
     comp = connected_components(pairs, max_iter)
     return (df.select(id_col)
             .join(comp.withColumnRenamed("id", id_col), id_col, "left")

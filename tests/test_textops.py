@@ -628,3 +628,37 @@ def test_weighted_sample_respects_weights_and_determinism(spark):
     got2 = [r["doc_id"] for r in weighted_sample_per_group(
         df2, "w", "source", n=3).collect()]
     assert got2 == [3]
+
+
+def test_rescue_oversized_recovers_flooded_cluster(spark):
+    """A tight near-dup cluster floods every band's bucket; a capped run
+    drops ALL its pairs (capped-recall semantics).  rescue_oversized
+    pairs members with the bucket representative at linear cost and the
+    exact verify keeps the threshold contract — the cluster collapses
+    to one group again."""
+    from qsketch.spark.textops import near_duplicate_groups, near_duplicates
+
+    base = " ".join(f"base{i:03d}" for i in range(58))
+    rows = [(i, f"{base} uniq{i}a uniq{i}b") for i in range(100)]
+    rows += [(i, " ".join(f"w{i}_{j}" for j in range(40)))
+             for i in range(100, 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = near_duplicate_groups(docs, max_bucket=16)
+    n_capped = capped.select("group_id").distinct().count()
+    assert n_capped == 300  # cluster sacrificed by the cap
+
+    rescued_pairs = near_duplicates(docs, max_bucket=16,
+                                    rescue_oversized=True)
+    # contract intact: every emitted pair passed the exact verify
+    assert rescued_pairs.where("jaccard < 0.8").count() == 0
+    rescued = near_duplicate_groups(docs, max_bucket=16,
+                                    rescue_oversized=True)
+    got = {r["doc_id"]: r["group_id"] for r in rescued.collect()}
+    # the whole cluster maps to the min id; singletons map to self
+    assert all(got[i] == 0 for i in range(100))
+    assert all(got[i] == i for i in range(100, 300))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires max_bucket"):
+        near_duplicates(docs, rescue_oversized=True)

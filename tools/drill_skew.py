@@ -159,12 +159,21 @@ def drill_neardup_cluster(spark) -> dict:
     sc.setJobGroup(None, None)
     stages = task_stats(sc, "skew_neardup")
     worst = max(stages, key=lambda s: s["ratio"]) if stages else None
+    # rescue path: same cap, plus exact-verified star pairs through each
+    # dropped bucket's representative — linear cost, cluster recovered
+    t0 = time.perf_counter()
+    rescued = near_duplicate_groups(docs, max_bucket=cap,
+                                    rescue_oversized=True)
+    n_groups_rescued = rescued.select("group_id").distinct().count()
+    wall_rescue = time.perf_counter() - t0
     docs.unpersist()
     return {"cap": cap, "oversized_buckets": len(over),
             "max_bucket_seen": max((r["n_rows"] for r in over), default=0),
             "capped_candidate_pairs": lost_pairs,
             "n_docs": n_docs, "n_groups": n_groups,
             "cluster_sacrificed_by_cap": n_groups == n_docs,
+            "n_groups_with_rescue": n_groups_rescued,
+            "rescue_wall_sec": round(wall_rescue, 2),
             "wall_sec": round(wall, 2),
             "worst_stage_by_ratio": worst, "all_stages": stages}
 
