@@ -68,7 +68,18 @@ def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
     whose zip_with/aggregate lambdas cost one expression eval per
     vector ELEMENT (measured: ~2 M candidate pairs x 64 dims = 128 M
     lambda evals dominated the LSH verify).  Needs no broadcast state,
-    so it is exactly as scale-able as the join that feeds it."""
+    so it is exactly as scale-able as the join that feeds it.  The id
+    columns pass through with their incoming types (the API is generic
+    over id_col, so a/b are not necessarily longs).
+
+    Note on float determinism: numpy's einsum may sum in a different
+    order than the exact path's sequential Catalyst fold; both
+    accumulate in float64 from float32 inputs, so any difference is
+    ~1 ulp — callers round to 6 dp before comparison, where a flip
+    would need a dot product within 1e-10 of a rounding boundary."""
+    a_t = pairs.schema["a"].dataType.simpleString()
+    b_t = pairs.schema["b"].dataType.simpleString()
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
@@ -83,7 +94,7 @@ def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
                  pa.array(dots / (na * nb), type=pa.float64())],
                 names=["a", "b", "cosine"])
 
-    return pairs.mapInArrow(fn, "a long, b long, cosine double")
+    return pairs.mapInArrow(fn, f"a {a_t}, b {b_t}, cosine double")
 
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -168,6 +179,9 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
         return (2.0 * u - 1.0).reshape(n_bits, dim)
 
     mats = [planes(t) for t in range(n_tables)]
+    # id column passes through with its incoming type — the API is
+    # generic over id_col (string ids are common for document keys)
+    id_t = df.schema[id_col].dataType.simpleString()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bit_w = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
@@ -176,21 +190,20 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
                 continue
             ids = batch.column(id_col)
             vecs = _batch_matrix(batch.column(vec_col))
-            out_ids, out_tab, out_key = [], [], []
+            out_tab, out_key = [], []
             for t, m in enumerate(mats):
                 signs = (vecs @ m.T) > 0
                 keys = (signs.astype(np.uint64) * bit_w).sum(axis=1)
-                out_ids.append(ids.to_numpy())
                 out_tab.append(np.full(len(keys), t, dtype=np.int32))
                 out_key.append(keys.view(np.int64))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_ids)),
+                [pa.concat_arrays([ids] * n_tables),
                  pa.array(np.concatenate(out_tab)),
                  pa.array(np.concatenate(out_key))],
                 names=[id_col, "table", "bucket"])
 
     return df.select(id_col, vec_col).mapInArrow(
-        fn, f"{id_col} long, table int, bucket long")
+        fn, f"{id_col} {id_t}, table int, bucket long")
 
 
 def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,

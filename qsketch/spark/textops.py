@@ -298,19 +298,24 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                               id_col, max_bucket)
 
 
-def _pairs_from_banded(banded: DataFrame, id_col: str,
-                       max_bucket: int | None) -> DataFrame:
-    """Capped bucket self-join over an already-banded frame (shared by
-    lsh_candidate_pairs and the rescue path, which needs the banded
-    frame twice and must not band the signatures twice)."""
-    banded = _cap_buckets(banded, ("band", "band_key"), max_bucket)
+def _bucket_self_join(banded: DataFrame, id_col: str) -> DataFrame:
+    """Raw (a < b) pairs from a bucket self-join; callers dedupe."""
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, ["band", "band_key"])
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b"))
-            .distinct())
+                    F.col(f"r.{id_col}").alias("b")))
+
+
+def _pairs_from_banded(banded: DataFrame, id_col: str,
+                       max_bucket: int | None) -> DataFrame:
+    """Capped bucket self-join over an already-banded frame (shared by
+    lsh_candidate_pairs and the rescue path, which must not band the
+    signatures twice)."""
+    return _bucket_self_join(
+        _cap_buckets(banded, ("band", "band_key"), max_bucket),
+        id_col).distinct()
 
 
 def shingle_hash_sets(df: DataFrame, text_col: str = "text",
@@ -444,12 +449,25 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     if rescue_oversized:
         if max_bucket is None:
             raise ValueError("rescue_oversized requires max_bucket")
-        banded = (banded_signatures(sigs, id_col, bands, rows)
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-        cands = (_pairs_from_banded(banded, id_col, max_bucket)
-                 .union(oversized_bucket_star_pairs(banded, id_col,
-                                                    max_bucket))
-                 .distinct())
+        from pyspark.sql.window import Window
+
+        # ONE window pass computes both the bucket size (for the cap
+        # split) and the bucket representative (for the star pairs) —
+        # calling _pairs_from_banded + oversized_bucket_star_pairs
+        # separately would run the same partitionBy(band, band_key)
+        # count shuffle twice over the banded frame
+        w = Window.partitionBy("band", "band_key")
+        counted = (banded_signatures(sigs, id_col, bands, rows)
+                   .withColumn("__n", F.count("*").over(w))
+                   .withColumn("__rep", F.min(id_col).over(w))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        under = counted.where(F.col("__n") <= max_bucket) \
+                       .drop("__n", "__rep")
+        stars = (counted.where((F.col("__n") > max_bucket)
+                               & (F.col(id_col) != F.col("__rep")))
+                 .select(F.col("__rep").alias("a"),
+                         F.col(id_col).alias("b")))
+        cands = _bucket_self_join(under, id_col).union(stars).distinct()
     else:
         cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
     # the verify consumes candidates twice (id pruning + pair join);
@@ -545,20 +563,38 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
 
     ``work_dir``: scratch directory for the round checkpoints.  Default
     (None) uses a driver-local temp dir, correct for local[N]; on a
-    multi-node cluster pass a cluster-visible path (HDFS/S3).  The
-    returned frame is localCheckpoint-materialized, so the scratch dir
-    is deleted before returning (only when it was created here)."""
-    import os
-    import shutil
+    multi-node cluster pass a cluster-visible path (HDFS/S3) — the
+    scratch lives in a run-scoped subdirectory and is removed through
+    the Hadoop FileSystem API (so remote schemes clean up too, not just
+    local paths), with superseded label rounds pruned as the loop
+    advances so peak scratch is two label generations + the edge list,
+    not O(rounds).  The returned frame is localCheckpoint-materialized,
+    so nothing references the scratch files after return."""
     import tempfile
+    import uuid as _uuid
 
     spark = pairs.sparkSession
-    own_tmp = work_dir is None
-    if own_tmp:
-        work_dir = tempfile.mkdtemp(prefix="qsketch-cc-")
+    if work_dir is None:
+        run_dir = tempfile.mkdtemp(prefix="qsketch-cc-")
+    else:
+        # run-scoped subdir: repeated calls against a shared scratch
+        # root must not collide with (or orphan into) each other
+        run_dir = work_dir.rstrip("/") + f"/cc-{_uuid.uuid4().hex}"
+
+    def _rm(path: str) -> None:
+        """Best-effort recursive delete via the Hadoop FileSystem API —
+        works for local paths AND cluster schemes (hdfs://, s3a://),
+        unlike a driver-side shutil.rmtree."""
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:
+            pass
 
     def _ckpt(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(work_dir, name)
+        path = f"{run_dir}/{name}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -601,6 +637,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
             changed = (new.alias("n").join(labels.alias("o"), "id")
                        .where(F.col("n.comp") != F.col("o.comp")).count())
             labels = new
+            # labels-{i}'s files are no longer referenced (the changed
+            # count above was their last reader) — prune so scratch
+            # stays at two label generations, not O(rounds)
+            _rm(f"{run_dir}/labels-{i}")
             if changed == 0:
                 break
         if changed != 0:
@@ -612,8 +652,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
         # materialize off the scratch files so the dir can be removed
         return labels.localCheckpoint(eager=True)
     finally:
-        if own_tmp:
-            shutil.rmtree(work_dir, ignore_errors=True)
+        _rm(run_dir)
 
 
 def near_duplicate_groups(df: DataFrame, text_col: str = "text",
@@ -621,21 +660,25 @@ def near_duplicate_groups(df: DataFrame, text_col: str = "text",
                           threshold: float = 0.8,
                           max_bucket: int | None = None,
                           max_iter: int = 25,
-                          rescue_oversized: bool = False) -> DataFrame:
+                          rescue_oversized: bool = False,
+                          work_dir: str | None = None) -> DataFrame:
     """Dedup grouping: every doc mapped to its near-duplicate group
 
     representative (the min id of its connected component in the
     near-duplicate pair graph); docs with no near-dup map to
     themselves.  Downstream keep-one dedup is then
     ``.where(doc_id == group_id)``.  At web scale set ``max_bucket``
-    AND ``rescue_oversized=True``: the cap bounds the bucket self-join,
-    the rescue recovers capped (flooded) clusters through their bucket
-    representative at linear cost, still exact-verified."""
+    AND ``rescue_oversized=True`` (the cap bounds the bucket self-join,
+    the rescue recovers capped clusters through their bucket
+    representative at linear cost, still exact-verified) AND
+    ``work_dir`` to a cluster-visible scratch path — it is forwarded to
+    :func:`connected_components` for its per-round checkpoints, whose
+    driver-local temp default is only correct on local[N]."""
     pairs = near_duplicates(df, text_col, id_col, shingle_n, threshold,
                             max_bucket=max_bucket,
                             rescue_oversized=rescue_oversized
                             ).select("a", "b")
-    comp = connected_components(pairs, max_iter)
+    comp = connected_components(pairs, max_iter, work_dir=work_dir)
     return (df.select(id_col)
             .join(comp.withColumnRenamed("id", id_col), id_col, "left")
             .select(id_col,

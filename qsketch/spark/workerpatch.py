@@ -71,14 +71,17 @@ def install() -> None:
     _install_gc_throttle()
 
 
-#: pending gen-2 container count above which a deferred full collection
-#: runs anyway (so a cycle-heavy user UDF workload sharing the session
-#: cannot accumulate unbounded garbage for up to 10 s).  CPython's own
-#: automatic gen-2 trigger fires around long_lived_pending >
-#: long_lived_total/4; 50k pending containers is far below any RSS that
-#: matters (~a few MB) while still amortizing the 68 ms full collect
-#: over hundreds of tasks for acyclic workloads.
-_GC_FULL_PENDING_THRESHOLD = 50_000
+#: gen-1 collection count (``gc.get_count()[2]`` — the number of gen-1
+#: collections since the last FULL collection) above which a deferred
+#: full collection runs anyway.  Each gen-1 cycle promotes its
+#: survivors to gen-2, so this bounds how much cyclic garbage can pile
+#: up in the oldest generation between full collections by allocation
+#: activity, not only wall time: a cycle-heavy user UDF workload
+#: sharing the session gets a real full collection after at most this
+#: many gen-1 cycles even inside the 10 s window, while the acyclic
+#: engine workload (one throttled gen-1 per task) still amortizes the
+#: 68 ms full collect over ~50 tasks.
+_GC_FULL_PENDING_THRESHOLD = 50
 
 
 def _gc_throttle_enabled() -> bool:
@@ -91,13 +94,14 @@ def _gc_throttle_enabled() -> bool:
         "0", "false", "off", "no")
 
 
-def _due_for_full(state: dict, now: float, gen2_pending: int) -> bool:
+def _due_for_full(state: dict, now: float, gen1_cycles: int) -> bool:
     """A daemon-loop full collection runs when EITHER 10 s have passed
-    since the last one OR the pending gen-2 container count crossed
-    :data:`_GC_FULL_PENDING_THRESHOLD` — allocation pressure bounds the
-    deferral, not only wall time."""
+    since the last one OR ``gen1_cycles`` (gen-1 collections since the
+    last full collection, i.e. ``gc.get_count()[2]``) crossed
+    :data:`_GC_FULL_PENDING_THRESHOLD` — allocation/promotion pressure
+    bounds the deferral, not only wall time."""
     return (now - state["last_full"] >= 10.0
-            or gen2_pending >= _GC_FULL_PENDING_THRESHOLD)
+            or gen1_cycles >= _GC_FULL_PENDING_THRESHOLD)
 
 
 def _install_gc_throttle() -> None:
@@ -105,9 +109,11 @@ def _install_gc_throttle() -> None:
     every task — measured 68 ms/task here (the worker heap holds ~1M
     objects from the pyspark/pyarrow imports alone).  Only the daemon
     loop's calls are throttled: generation-1 normally, a real full
-    collection when either 10 s have passed OR the pending gen-2
-    container count crosses :data:`_GC_FULL_PENDING_THRESHOLD` (so the
-    deferral is bounded by allocation pressure, not only wall time).
+    collection when either 10 s have passed OR the number of gen-1
+    collections since the last full one crosses
+    :data:`_GC_FULL_PENDING_THRESHOLD` (each gen-1 cycle promotes its
+    survivors to gen-2, so the deferral is bounded by promotion
+    pressure, not only wall time).
     Engine allocations are acyclic NumPy/Arrow buffers freed by
     refcount, so deferring full cycles is safe; any OTHER caller of
     gc.collect (user code managing memory) still gets exactly what it

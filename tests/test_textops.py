@@ -662,3 +662,37 @@ def test_rescue_oversized_recovers_flooded_cluster(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="requires max_bucket"):
         near_duplicates(docs, rescue_oversized=True)
+
+
+def test_connected_components_work_dir_cleanup(spark, tmp_path):
+    """A caller-provided scratch root must end the run empty: the
+    run-scoped subdir (and the superseded per-round label dirs inside
+    it) are removed via the Hadoop FS API, so repeated calls cannot
+    accumulate checkpoint directories."""
+    import os
+
+    from qsketch.spark.textops import connected_components
+
+    root = str(tmp_path / "ccscratch")
+    os.makedirs(root)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                                  "a long, b long")
+    comp = connected_components(pairs, work_dir=root)
+    assert {r["comp"] for r in comp.collect()} == {0}
+    assert os.listdir(root) == []  # run-scoped subdir removed
+
+
+def test_embedding_lsh_string_ids(spark):
+    """The LSH verify's Arrow schema must follow the id column's type —
+    the API is generic over id_col (regression: the vectorized verify
+    once hardcoded `a long, b long`)."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    base[1] = base[0] + 0.01 * rng.normal(size=16)  # one near-dup pair
+    rows = [(f"doc-{i:03d}", v.tolist()) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = embedding_near_duplicates(emb, threshold=0.95, method="lsh",
+                                    n_bits=4, n_tables=32).collect()
+    assert {(r["a"], r["b"]) for r in got} == {("doc-000", "doc-001")}

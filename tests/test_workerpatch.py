@@ -102,16 +102,17 @@ def test_gc_throttle_env_opt_out(monkeypatch):
 
 
 def test_gc_throttle_pending_threshold_forces_full(monkeypatch):
-    """Within the 10 s window, crossing the pending gen-2 container
-    threshold must still trigger a real full collection (the deferral
-    is bounded by allocation pressure, not only wall time)."""
+    """Within the 10 s window, crossing the gen-1-cycles-since-full
+    threshold (gc.get_count()[2]) must still trigger a real full
+    collection (the deferral is bounded by promotion pressure, not
+    only wall time)."""
     from qsketch.spark import workerpatch
 
     state = {"last_full": 100.0}
     # inside the window, low pressure: deferred (gen-1 path)
-    assert not workerpatch._due_for_full(state, 105.0, gen2_pending=10)
+    assert not workerpatch._due_for_full(state, 105.0, gen1_cycles=10)
     # inside the window, pressure crossed: full collection anyway
     monkeypatch.setattr(workerpatch, "_GC_FULL_PENDING_THRESHOLD", 1000)
-    assert workerpatch._due_for_full(state, 105.0, gen2_pending=1000)
+    assert workerpatch._due_for_full(state, 105.0, gen1_cycles=1000)
     # window expired: full collection regardless of pressure
-    assert workerpatch._due_for_full(state, 111.0, gen2_pending=0)
+    assert workerpatch._due_for_full(state, 111.0, gen1_cycles=0)
