@@ -658,6 +658,44 @@ def q_near_duplicate_groups(spark, sf_dir):
     return near_duplicate_groups(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_near_duplicate_rescue(spark, sf_dir):
+    """The capped-LSH OVERSIZED-BUCKET RESCUE path end-to-end, with a
+    CLOSED-FORM oracle (the multimodal pattern): a deterministic
+    synthetic corpus where docs 0-99 form one tight near-dup cluster
+    (58 shared + 2 unique tokens, pairwise J = 58/62 ~ 0.935 — not
+    exact dups) and docs 100-499 use doc-namespaced tokens (zero
+    overlap).  At max_bucket=16 the cluster floods every band's
+    majority bucket (~76 of 100 docs share the base band minima), so a
+    plain capped run drops ALL its pairs (measured in
+    tools/drill_skew.py); rescue_oversized pairs each dropped bucket's
+    members with its min-id representative, the exact verify keeps only
+    J >= 0.8, and connected components must therefore map every cluster
+    doc to group 0 and every filler to itself — exactly the closed form
+    the oracle states.  A rescue that misses a bucket, a verify that
+    leaks a sub-threshold pair, or a components bug each break
+    equality.  P[a cluster doc shares no oversized bucket] <
+    (1-0.765)^32 ~ 2e-21, and the seeded permutations make the run
+    deterministic."""
+    from qsketch.spark.textops import near_duplicate_groups
+
+    base = " ".join(f"base{i:03d}" for i in range(58))
+
+    def gen(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            texts = [f"{base} uniq{i}a uniq{i}b" if i < 100 else
+                     " ".join(f"w{i}_{j}" for j in range(40))
+                     for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    docs = spark.range(0, 500, 1, 8).mapInPandas(
+        gen, "doc_id long, text string")
+    return (near_duplicate_groups(docs, max_bucket=16,
+                                  rescue_oversized=True)
+            .orderBy("doc_id"))
+
+
 def q_embedding_near_duplicates(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs path (the
     oracle-checkable form; the LSH-candidate scale path is covered by a
@@ -1109,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "kmv_saturated_overlap": q_kmv_saturated_overlap,
+        "near_duplicate_rescue": q_near_duplicate_rescue,
         "token_counts_top50": q_token_counts_top50,
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "top_tokens_per_source": q_top_tokens_per_source,
@@ -1349,6 +1388,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count"
             " FROM documents GROUP BY text"),
         "near_duplicates": _NEAR_DUP_SQL,
+        # closed-form oracle: the rescue query's synthetic corpus has a
+        # fully determined grouping (see q_near_duplicate_rescue)
+        "near_duplicate_rescue": (
+            "SELECT r.range AS doc_id,"
+            " CAST(CASE WHEN r.range < 100 THEN 0 ELSE r.range END"
+            " AS BIGINT) AS group_id"
+            " FROM range(500) r ORDER BY doc_id"),
         "near_duplicate_groups": (
             # connected components over the exact near-dup pair graph:
             # transitive reachability closure (tiny clusters), then
