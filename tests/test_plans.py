@@ -160,9 +160,16 @@ def test_lsh_paths_have_no_cartesian_product(spark):
         "vec_id long, embedding array<double>")
     plans["embedding_lsh"] = _plan(embedding_near_duplicates(
         emb, method="lsh", dim=8))
+    from qsketch.spark.textops import near_duplicates
+    plans["rescue"] = _plan(near_duplicates(docs, max_bucket=4,
+                                            rescue_oversized=True))
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, f"{name}: cartesian!"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NL join!"
+    # (the rescue path's one-window-pass property is structural — the
+    # cap split and star pairs both read the same PERSISTED counted
+    # frame — and is not visible in the textual plan, which inlines the
+    # persisted subtree per consumer before first materialization)
 
 
 def test_grouped_set_relations_broadcast_state_join(spark, tiny_df):
