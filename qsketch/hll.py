@@ -26,17 +26,20 @@ U64 = np.uint64
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64: 64 - bit_length via a
+    """EXACT vectorized count-leading-zeros for uint64 via float64
 
-    6-step binary reduction (each step halves the bit-length bound)."""
-    x = x.copy()
-    bl = np.zeros(x.shape, dtype=np.uint8)
-    for shift in (32, 16, 8, 4, 2, 1):
-        y = x >> U64(shift)
-        gt = y != 0
-        bl[gt] += shift
-        x[gt] = y[gt]
-    bl += (x != 0).astype(np.uint8)
+    exponents: the top 53 bits (``x >> 11``) are exactly representable
+    in float64, so ``frexp``'s exponent IS the exact bit length (no
+    rounding hazard — the hazard only exists for integers above 2^53);
+    values below 2^11 convert exactly and are handled directly.
+    Replaces a 6-step binary reduction whose per-step boolean
+    fancy-indexing made it ~30x slower (verified bit-equal on random +
+    all power-of-two-boundary inputs)."""
+    y = (x >> U64(11)).astype(np.float64)
+    bl = np.frexp(y)[1] + 11  # exact bit_length(x) when x >= 2^11
+    low = y == 0.0
+    if low.any():
+        bl[low] = np.frexp(x[low].astype(np.float64))[1]
     return 64 - bl
 
 
@@ -59,15 +62,22 @@ class HyperLogLog:
         w = h << U64(self.p)  # remaining 64-p bits, left-aligned
         rho = np.minimum(_clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
         # ufunc.at is slow for large batches: reduce to one (idx, max rho)
-        # pair per distinct register first (sort + group-last), then a
-        # bounded (<= m entries) scatter-max.
-        order = np.lexsort((rho, idx))
-        idx_s = idx[order]
-        last = np.empty(len(idx_s), dtype=bool)
-        if len(idx_s):
+        # pair per distinct register first, then a bounded (<= m entries)
+        # scatter-max.  The reduction packs (idx, rho) into ONE uint32
+        # key (p <= 18 index bits + rho <= 61 in the low 6 bits) so a
+        # single flat sort replaces the two-key lexsort — same grouping,
+        # ascending rho within each idx, so group-last is the max.
+        if len(idx):
+            key = (idx.astype(np.uint32) << np.uint32(6)) \
+                | rho.astype(np.uint32)
+            key.sort()
+            last = np.empty(len(key), dtype=bool)
             last[-1] = True
-            np.not_equal(idx_s[1:], idx_s[:-1], out=last[:-1])
-            np.maximum.at(self.registers, idx_s[last], rho[order][last])
+            np.not_equal(key[1:] >> np.uint32(6), key[:-1] >> np.uint32(6),
+                         out=last[:-1])
+            kl = key[last]
+            np.maximum.at(self.registers, (kl >> np.uint32(6)).astype(np.int64),
+                          (kl & np.uint32(63)).astype(np.uint8))
 
     def estimate(self) -> float:
         m = self.m
