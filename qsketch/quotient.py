@@ -87,6 +87,11 @@ def pack_slots(keys: np.ndarray, q_bits: int, r_bits: int) -> np.ndarray:
         return slots
     if n >= cap:
         raise QuotientFilterFullError("filter is full")
+    # the no-sort placement below RELIES on the documented sorted-unique
+    # precondition; the previous lexsort tolerated violations silently,
+    # so fail loudly instead (one O(n) compare, ~1 ms/M keys)
+    if n > 1 and not bool(np.all(keys[1:] > keys[:-1])):
+        raise ValueError("pack_slots requires sorted unique keys")
     quot = (keys >> U64(r_bits)).astype(np.int64)
     rem = keys & U64((1 << r_bits) - 1)
 
@@ -104,19 +109,23 @@ def pack_slots(keys: np.ndarray, q_bits: int, r_bits: int) -> np.ndarray:
     e = int(np.argmax(empty))  # an empty slot; clusters never cross it
 
     # --- placement in coordinates rotated so the scan starts after `e`.
-    rq = (quot - (e + 1)) & (cap - 1)
-    order = np.lexsort((rem, rq))
-    h = rq[order]
+    # The input keys are sorted unique (quot, rem), so ordering by the
+    # ROTATED quotient rq = (quot - (e+1)) mod cap is just a block swap
+    # at the first quotient > e — no sort needed (was a 2-key lexsort,
+    # the bulk-build's hottest step).
+    split = int(np.searchsorted(quot, e + 1))
+    srt_q = np.concatenate((quot[split:], quot[:split]))
+    srt_rem = np.concatenate((rem[split:], rem[:split]))
+    h = (srt_q - (e + 1)) & (cap - 1)
     ar = np.arange(n, dtype=np.int64)
     posr = np.maximum.accumulate(h - ar) + ar
     pos = (posr + e + 1) & (cap - 1)
 
-    srt_q = quot[order]
     run_first = np.empty(n, dtype=bool)
     run_first[0] = True
     np.not_equal(srt_q[1:], srt_q[:-1], out=run_first[1:])
 
-    word = rem[order] << U64(3)
+    word = srt_rem << U64(3)
     word |= np.where(run_first, U64(0), CONT)
     word |= np.where(posr != h, SHIFT, U64(0))
     slots[pos] = word
