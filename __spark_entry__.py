@@ -662,9 +662,10 @@ def q_near_duplicate_rescue(spark, sf_dir):
     """The capped-LSH OVERSIZED-BUCKET RESCUE path end-to-end, with a
     CLOSED-FORM oracle (the multimodal pattern): a deterministic
     synthetic corpus where docs 0-99 form one tight near-dup cluster
-    (58 shared + 2 unique tokens, pairwise J = 58/62 ~ 0.935 — not
-    exact dups) and docs 100-499 use doc-namespaced tokens (zero
-    overlap).  At max_bucket=16 the cluster floods every band's
+    (58 shared + 2 unique tokens; the verify's word-3-gram shingle
+    space gives 56 shared + 2 unique shingles per doc, pairwise
+    J = 56/60 ~ 0.933 — not exact dups) and docs 100-499 use
+    doc-namespaced tokens (zero overlap).  At max_bucket=16 the cluster floods every band's
     majority bucket (~76 of 100 docs share the base band minima), so a
     plain capped run drops ALL its pairs (measured in
     tools/drill_skew.py); rescue_oversized pairs each dropped bucket's
@@ -674,7 +675,7 @@ def q_near_duplicate_rescue(spark, sf_dir):
     the oracle states.  A rescue that misses a bucket, a verify that
     leaks a sub-threshold pair, or a components bug each break
     equality.  P[a cluster doc shares no oversized bucket] <
-    (1-0.765)^32 ~ 2e-21, and the seeded permutations make the run
+    (1-0.933^4)^32 ~ (0.242)^32 ~ 2e-20, and the seeded permutations make the run
     deterministic."""
     from qsketch.spark.textops import near_duplicate_groups
 
