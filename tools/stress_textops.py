@@ -86,9 +86,52 @@ def main() -> None:
     timed("winnow_fingerprints",
           lambda: winnow_fingerprints(docs).count())
 
+    # --- rescue at volume: a 10k-doc flooded near-identical cluster
+    # (10% of 100k) that any cap must sacrifice; the rescue path must
+    # recover it at LINEAR cost and grouping must collapse it to ONE
+    # group while every other doc stays a singleton
+    from qsketch.spark.textops import connected_components, near_duplicate_groups
+
+    base_text = " ".join(f"c{i:03d}" for i in range(58))
+    n_cluster = max(N_DOCS // 10, 1000)
+
+    def gen_cluster(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [f"{base_text} u{i}a u{i}b" if i < n_cluster
+                         else " ".join(f"v{i}_{j}" for j in range(40))
+                         for i in ids]})
+
+    rdocs = (spark.range(0, N_DOCS, 1, CPUS * 4)
+             .mapInPandas(gen_cluster, "doc_id long, text string")
+             .persist())
+    rdocs.count()
+    rescued = timed("near_dup_groups_rescued", lambda: (
+        near_duplicate_groups(rdocs, max_bucket=64, rescue_oversized=True)
+        .groupBy((F.col("group_id") == F.col("doc_id")).alias("own"))
+        .count().collect()))
+    by_own = {r["own"]: r["count"] for r in rescued}
+    # one group rep (doc 0) + all fillers map to self; cluster members
+    # (minus the rep) map elsewhere
+    assert by_own.get(False, 0) == n_cluster - 1, by_own
+    rdocs.unpersist()
+
+    # --- connected-components depth at volume: a 50k-node PATH graph
+    # (diameter 49,999) must converge within the default 25 rounds —
+    # the O(log diameter) path-halving claim, measured
+    chain = spark.range(0, 50_000 - 1, 1, CPUS).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    n_comp = timed("cc_50k_path", lambda: (
+        connected_components(chain).select("comp").distinct().count()))
+    assert n_comp == 1, n_comp
+
     print(json.dumps({"n_docs": int(n), "cpus": CPUS,
                       "near_pairs": int(pairs),
                       "simhash_pairs": int(sh_pairs),
+                      "rescued_cluster_docs": n_cluster,
                       "sec": times}))
     spark.stop()
 
