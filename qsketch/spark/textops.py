@@ -688,8 +688,51 @@ def near_duplicate_groups(df: DataFrame, text_col: str = "text",
 # ---------------- SimHash ---------------------------------------------------
 
 
+def token_idf_weights(df: DataFrame, text_col: str = "text",
+                      max_tokens: int = 1 << 16
+                      ) -> tuple[np.ndarray, np.ndarray, float]:
+    """(sorted token FNV hashes, idf weights, default weight) for the
+    ``max_tokens`` most document-frequent tokens — the bounded
+    broadcast side of :func:`simhash`'s idf weighting.
+
+    idf(t) = ln(N / df_t).  Only COMMON tokens need explicit weights:
+    by Zipf the head carries almost all occurrence mass, idf is nearly
+    flat across the rare tail, and a rare token's weight error barely
+    moves a sign-sum it contributes one vote to — so every token
+    outside the head shares the default weight ln(N / df_cut), where
+    df_cut is the head's smallest document frequency.  This keeps the
+    broadcast O(max_tokens), independent of corpus size: the 100-TB
+    shape is one token-level groupBy (the same shuffle as a word
+    count) and a <1 MB driver collect."""
+    n_docs = df.count()
+    toks = (df.select(F.explode(F.array_distinct(F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda t: t != ""))).alias("token")))
+    top = (toks.groupBy("token").agg(F.count("*").alias("df"))
+           .orderBy(F.desc("df"), F.asc("token")).limit(max_tokens)
+           .collect())
+    if not top:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64),
+                1.0)
+    hashes = fnv1a64_str(np.array([r["token"] for r in top]))
+    dfs = np.array([r["df"] for r in top], dtype=np.float64)
+    weights = np.log(float(max(n_docs, 1)) / dfs)
+    default_w = float(np.log(max(n_docs, 1) / float(dfs.min())))
+    order = np.argsort(hashes)
+    return hashes[order], weights[order], default_w
+
+
+def fnv1a64_str(tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a64 of an array of Python strings via the packed-buffer
+    path (driver-side helper for small weight tables)."""
+    arr = pa.array(tokens.tolist(), type=pa.string())
+    return _hash_str_arrow(arr)
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            idf_weights: tuple[np.ndarray, np.ndarray, float] | None = None
+            ) -> DataFrame:
     """64-bit SimHash over word unigrams (charikar): sign-sum of
 
     fingerprint bits weighted by term frequency.  Tokenization and
@@ -697,7 +740,18 @@ def simhash(df: DataFrame, text_col: str = "text",
     hashes once (packed-buffer FNV) and each bit's per-doc sign-sum is
     one np.bincount over the flat stream — summing per occurrence IS
     the term-frequency weighting, so no per-doc unique() is needed.
-    The Python-level loop is over the 64 bits, never rows."""
+    The Python-level loop is over the 64 bits, never rows.
+
+    ``idf_weights`` (from :func:`token_idf_weights`) switches the vote
+    weight from raw tf to tf·idf — the standard fix for SimHash's
+    known head-token weakness: on Zipf-shaped text the handful of
+    most-common words dominates every doc's sign-sum, so UNRELATED
+    docs land Hamming-close (measured: 214k spurious pairs at d≤3 on
+    the 101k-doc volume drill).  Weight lookup is one vectorized
+    searchsorted against the bounded broadcast table."""
+    if idf_weights is not None:
+        w_hashes, w_vals, w_default = idf_weights
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
@@ -708,10 +762,21 @@ def simhash(df: DataFrame, text_col: str = "text",
             lens = _list_lens(toks)
             wh = _hash_str_arrow(toks.flatten())
             doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            tot = lens.astype(np.float64)
+            if idf_weights is not None and len(w_hashes):
+                idx = np.searchsorted(w_hashes, wh)
+                idx[idx == len(w_hashes)] = 0
+                hit = w_hashes[idx] == wh
+                tok_w = np.where(hit, w_vals[idx], w_default)
+                tot = np.bincount(doc_of, weights=tok_w,
+                                  minlength=n_docs)
+            else:
+                tok_w = None
+                tot = lens.astype(np.float64)
             out = np.zeros(n_docs, dtype=np.uint64)
             for b in range(64):
                 bit = ((wh >> U64(b)) & U64(1)).astype(np.float64)
+                if tok_w is not None:
+                    bit *= tok_w
                 s = np.bincount(doc_of, weights=bit, minlength=n_docs)
                 # acc = (+1)*s + (-1)*(tot-s) = 2s - tot ; bit set if > 0
                 out |= ((2.0 * s - tot) > 0).astype(np.uint64) << U64(b)
@@ -779,7 +844,8 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", max_hamming: int = 3,
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            idf_weighted: bool = False) -> DataFrame:
     """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
 
     simhash column exists for.  (a, b, hamming) for all pairs within
@@ -788,8 +854,15 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     ``max_bucket`` defaults to None = unbounded recall (changed from a
     lossy default of 500 in round 3 — existing callers now get full
     recall and, on skewed buckets, a larger self-join).  At web scale
-    set a cap and audit drops with :func:`oversized_buckets`."""
-    sh = simhash(df, text_col, id_col)
+    set a cap and audit drops with :func:`oversized_buckets`.
+
+    ``idf_weighted=True`` computes a bounded common-token idf table
+    first (one word-count-shaped groupBy + <1 MB broadcast) and weights
+    the sign-sum votes by tf·idf — on Zipf text this collapses the
+    spurious head-token pairs (volume drill: 214k -> see SCALE.md)
+    while true near-dups stay Hamming-close."""
+    idf = token_idf_weights(df, text_col) if idf_weighted else None
+    sh = simhash(df, text_col, id_col, idf_weights=idf)
     return simhash_pairs(sh, id_col, max_hamming, max_bucket=max_bucket)
 
 

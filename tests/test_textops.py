@@ -696,3 +696,52 @@ def test_embedding_lsh_string_ids(spark):
     got = embedding_near_duplicates(emb, threshold=0.95, method="lsh",
                                     n_bits=4, n_tables=32).collect()
     assert {(r["a"], r["b"]) for r in got} == {("doc-000", "doc-001")}
+
+
+def test_idf_weighted_simhash_separates_head_token_lookalikes(spark):
+    """SimHash's known weakness: on Zipf text the head tokens dominate
+    every sign-sum and UNRELATED docs land Hamming-close.  idf
+    weighting must push such lookalikes apart while a genuine near-dup
+    pair stays close."""
+    from qsketch.spark.textops import simhash, token_idf_weights
+
+    rng = np.random.default_rng(11)
+    head = [f"common{i}" for i in range(12)]    # shared Zipf head
+    rows = []
+    # docs 0 and 1: UNRELATED content, but the head dominates by tf
+    for d in (0, 1):
+        content = [f"doc{d}w{i}" for i in range(30)]
+        words = head * 10 + content              # 120 head + 30 content
+        rows.append((d, " ".join(rng.permutation(words))))
+    # docs 2 and 3: genuine near-dups (one content word edited)
+    content = [f"sharedw{i}" for i in range(30)]
+    words = head * 10 + content
+    rows.append((2, " ".join(words)))
+    edited = list(words)
+    edited[-1] = "EDITED"
+    rows.append((3, " ".join(edited)))
+    # filler docs so the idf table sees the head as genuinely common
+    for d in range(4, 40):
+        rows.append((d, " ".join(head + [f"f{d}w{i}" for i in range(10)])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    plain = {r["doc_id"]: int(r["simhash"])
+             for r in simhash(docs).collect()}
+    idf = token_idf_weights(docs)
+    weighted = {r["doc_id"]: int(r["simhash"])
+                for r in simhash(docs, idf_weights=idf).collect()}
+
+    # unweighted: head tokens dominate -> unrelated docs look close
+    assert ham(plain[0], plain[1]) <= 12
+    # weighted: content tokens carry the votes — unrelated docs are
+    # pushed toward the ~32-bit random-pair distance...
+    assert ham(weighted[0], weighted[1]) > ham(plain[0], plain[1])
+    assert ham(weighted[0], weighted[1]) >= 18
+    # ...while the true near-dup pair (29/30 content overlap, cosine
+    # ~0.97 -> expected ~64*angle/pi ~ 5 bits) stays far closer than
+    # the unrelated pair
+    assert ham(weighted[2], weighted[3]) <= 10
+    assert ham(weighted[2], weighted[3]) < ham(weighted[0], weighted[1]) / 2

@@ -82,6 +82,16 @@ def main() -> None:
                          docs, max_hamming=3, max_bucket=200).count())
     assert sh_pairs >= N_CLONES * 0.9, sh_pairs  # clones are hamming-0
 
+    # idf-weighted simhash: the Zipf head no longer dominates the
+    # sign-sums, so the spurious unrelated-doc pairs collapse while
+    # exact clones (identical hash at any weighting) remain
+    shw_pairs = timed("simhash_near_duplicates_idf",
+                      lambda: simhash_near_duplicates(
+                          docs, max_hamming=3, max_bucket=200,
+                          idf_weighted=True).count())
+    assert shw_pairs >= N_CLONES * 0.9, shw_pairs
+    assert shw_pairs < sh_pairs / 4, (shw_pairs, sh_pairs)
+
     timed("language_id", lambda: language_id(docs).count())
     timed("winnow_fingerprints",
           lambda: winnow_fingerprints(docs).count())
@@ -131,6 +141,7 @@ def main() -> None:
     print(json.dumps({"n_docs": int(n), "cpus": CPUS,
                       "near_pairs": int(pairs),
                       "simhash_pairs": int(sh_pairs),
+                      "simhash_pairs_idf": int(shw_pairs),
                       "rescued_cluster_docs": n_cluster,
                       "sec": times}))
     spark.stop()
