@@ -305,6 +305,7 @@ def main() -> None:
                  "cms_heavy_hitters_sketch", "cms_heavy_hitters_by_source",
                  "token_counts_top50", "kll_nchars_quantiles",
                  "near_duplicates", "simhash_near_duplicates",
+                 "simhash_near_duplicates_idf", "near_duplicate_rescue",
                  "cosine_topk", "source_token_overlap",
                  "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
                  "sample_docs_per_source", "mix_sources"):

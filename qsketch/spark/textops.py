@@ -845,7 +845,8 @@ def simhash_pairs(sh_df: DataFrame, id_col: str = "doc_id",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", max_hamming: int = 3,
                             max_bucket: int | None = None,
-                            idf_weighted: bool = False) -> DataFrame:
+                            idf_weighted: bool = False,
+                            n_slices: int = 4) -> DataFrame:
     """SimHash fingerprints -> Hamming-ball pairing: the dedup query a
 
     simhash column exists for.  (a, b, hamming) for all pairs within
@@ -860,10 +861,19 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     first (one word-count-shaped groupBy + <1 MB broadcast) and weights
     the sign-sum votes by tf·idf — on Zipf text this collapses the
     spurious head-token pairs (volume drill: 214k -> see SCALE.md)
-    while true near-dups stay Hamming-close."""
+    while true near-dups stay Hamming-close.
+
+    Weighted distances run intrinsically larger when content tokens are
+    few (the signal is content mass only), so idf callers typically pass
+    a wider ``max_hamming`` — and therefore more slices: pigeonhole
+    needs ``n_slices >= max_hamming + 1`` (64 % n_slices == 0).  Wider
+    slices mean narrower bucket values (64/n_slices bits), i.e. more
+    candidate collisions — at web scale pair that with ``max_bucket``
+    and audit via :func:`oversized_buckets`."""
     idf = token_idf_weights(df, text_col) if idf_weighted else None
     sh = simhash(df, text_col, id_col, idf_weights=idf)
-    return simhash_pairs(sh, id_col, max_hamming, max_bucket=max_bucket)
+    return simhash_pairs(sh, id_col, max_hamming, n_slices=n_slices,
+                         max_bucket=max_bucket)
 
 
 # ---------------- text analysis --------------------------------------------
