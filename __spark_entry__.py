@@ -519,6 +519,28 @@ def q_simhash_near_duplicates(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (the n-gram eval-overlap scrub): the
+    'benchmark' is the deterministic doc_id % 23 == 0 slice of the same
+    table (no external data), the corpus is the rest; a corpus doc is
+    contaminated if it shares any word-3-gram with the benchmark slice.
+    Broadcast semi-join shape — see textops.contamination_check."""
+    from qsketch.spark.textops import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return contamination_check(corpus, bench).orderBy("doc_id")
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    """Boilerplate detection: word-3-grams appearing in >= 2 distinct
+    docs, top-100 by doc count with a deterministic text tiebreak."""
+    from qsketch.spark.textops import repeated_ngrams
+
+    return repeated_ngrams(_docs(spark, sf_dir), min_docs=2, top=100)
+
+
 def q_simhash_near_duplicates_idf(spark, sf_dir):
     """idf-WEIGHTED SimHash pairing (rows-only): tf-idf sign-sum votes
     via a bounded common-token idf broadcast so Zipf-head tokens stop
@@ -1164,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_saturated_overlap": q_kmv_saturated_overlap,
         "near_duplicate_rescue": q_near_duplicate_rescue,
         "simhash_near_duplicates_idf": q_simhash_near_duplicates_idf,
+        "contamination_check": q_contamination_check,
+        "repeated_ngrams": q_repeated_ngrams,
         "token_counts_top50": q_token_counts_top50,
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "top_tokens_per_source": q_top_tokens_per_source,
@@ -1252,7 +1276,10 @@ _EMB_NEAR_DUP_SQL = (
     " FROM e x JOIN e y ON x.vec_id < y.vec_id"
     " WHERE list_cosine_similarity(x.v, y.v) >= 0.45")
 
-_NEAR_DUP_SQL = (
+# distinct word-3-gram shingles per doc, positions per DuckDB
+# string_split semantics (interior empty tokens kept) — shared by the
+# Jaccard, decontamination, and boilerplate oracles
+_SHINGLE_CTE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
     " w1 AS (SELECT doc_id, unnest(w) AS word,"
     "   generate_subscripts(w, 1) AS pos FROM t),"
@@ -1261,7 +1288,10 @@ _NEAR_DUP_SQL = (
     "   lead(word, 2) OVER win AS s,"
     "   lead(word, 2) OVER win AS tail FROM w1"
     "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),"
-    " sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE tail IS NOT NULL),"
+    " sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE tail IS NOT NULL)")
+
+_NEAR_DUP_SQL = _SHINGLE_CTE + (
+    ","
     " sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
     " inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni"
     "   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id"
@@ -1404,6 +1434,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count"
             " FROM documents GROUP BY text"),
         "near_duplicates": _NEAR_DUP_SQL,
+        "contamination_check": _SHINGLE_CTE + (
+            ","
+            " bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),"
+            " cor AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),"
+            " sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cor"
+            "   GROUP BY doc_id),"
+            " m AS (SELECT c.doc_id, COUNT(*) AS n_matched FROM cor c"
+            "   JOIN bsh ON c.s = bsh.s GROUP BY c.doc_id)"
+            " SELECT m.doc_id, sz.n_shingles, m.n_matched,"
+            " ROUND(m.n_matched / sz.n_shingles, 6) AS contamination"
+            " FROM m JOIN sz ON sz.doc_id = m.doc_id ORDER BY m.doc_id"),
+        "repeated_ngrams": _SHINGLE_CTE + (
+            " SELECT s AS shingle, COUNT(*) AS n_docs FROM sh GROUP BY s"
+            " HAVING COUNT(*) >= 2"
+            " ORDER BY n_docs DESC, shingle ASC LIMIT 100"),
         # closed-form oracle: the rescue query's synthetic corpus has a
         # fully determined grouping (see q_near_duplicate_rescue)
         "near_duplicate_rescue": (

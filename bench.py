@@ -306,6 +306,7 @@ def main() -> None:
                  "token_counts_top50", "kll_nchars_quantiles",
                  "near_duplicates", "simhash_near_duplicates",
                  "simhash_near_duplicates_idf", "near_duplicate_rescue",
+                 "contamination_check", "repeated_ngrams",
                  "cosine_topk", "source_token_overlap",
                  "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
                  "sample_docs_per_source", "mix_sources"):

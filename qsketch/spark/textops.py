@@ -162,6 +162,80 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
               .where(F.col("dup_count") > 1))
 
 
+# ---------------- decontamination & boilerplate -----------------------------
+
+
+def _word_shingles_expr(text_col: str, n: int):
+    """Catalyst word-n-gram STRINGS (concat_ws over array slices): staying
+
+    in string space (not FNV hashes) keeps the result bit-comparable to
+    a plain-SQL oracle and the whole pipeline inside whole-stage
+    codegen.  Guarded for docs shorter than n because
+    ``F.sequence(1, k)`` DESCENDS when k < 1 instead of returning
+    empty (the CASE branch is evaluated lazily, so the clamped
+    sequence in the dead branch costs nothing)."""
+    w = _shingle_toks_expr(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - n + 1, F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, grams) \
+            .otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share any word
+
+    n-gram with an evaluation/benchmark set — the standard n-gram
+    overlap scrub for training corpora (production pipelines use
+    n-grams around 13; the short driver-scale docs use n=3).  Returns
+    (id_col, n_shingles, n_matched, contamination) for corpus docs
+    with at least one matched shingle, where contamination =
+    n_matched / n_shingles over the doc's DISTINCT shingles.
+
+    100-TB shape: the benchmark side is tiny by definition, so its
+    distinct shingle set BROADCASTS (a few MB of strings for any real
+    eval suite) and the corpus side is ONE scan whose exploded
+    shingles meet the broadcast in a hash join — the only corpus
+    shuffle is the per-doc count aggregation, which is map-side
+    combinable and carries matched docs only.  Per-doc shingle dedup
+    is row-local (array_distinct), never a shuffle."""
+    sh = F.array_distinct(_word_shingles_expr(text_col, shingle_n))
+    cor = (corpus.select(F.col(id_col), sh.alias("__sh"))
+                 .withColumn("n_shingles", F.size("__sh"))
+                 .select(id_col, "n_shingles",
+                         F.explode("__sh").alias("shingle")))
+    bench = (benchmark.select(F.explode(sh).alias("shingle")).distinct())
+    return (cor.join(F.broadcast(bench), "shingle")
+               .groupBy(id_col, "n_shingles")
+               .agg(F.count("*").alias("n_matched"))
+               .withColumn("contamination",
+                           F.round(F.col("n_matched")
+                                   / F.col("n_shingles"), 6)))
+
+
+def repeated_ngrams(df: DataFrame, text_col: str = "text",
+                    shingle_n: int = 3, min_docs: int = 2,
+                    top: int = 100) -> DataFrame:
+    """Boilerplate detector: word n-grams occurring in >= min_docs
+
+    DISTINCT docs, top-`top` by doc count (ties broken by shingle text
+    so the limit is deterministic).  One shuffle: per-doc dedup is
+    row-local (array_distinct), so a plain groupBy count IS the
+    distinct-doc count and Catalyst partial aggregation collapses the
+    hot head map-side.  At 100 TB exact top-N over a skewed n-gram
+    head is exactly the heavy-hitters shape — queries.heavy_hitters
+    (CMS + per-partition candidates) is the sketch alternative when
+    the n-gram vocabulary outgrows a shuffle."""
+    sh = F.array_distinct(_word_shingles_expr(text_col, shingle_n))
+    return (df.select(F.explode(sh).alias("shingle"))
+              .groupBy("shingle")
+              .agg(F.count("*").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs)
+              .orderBy(F.desc("n_docs"), F.asc("shingle"))
+              .limit(top))
+
+
 # ---------------- shingles & MinHash ---------------------------------------
 
 

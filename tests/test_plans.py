@@ -185,3 +185,29 @@ def test_grouped_set_relations_broadcast_state_join(spark, tiny_df):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    """The decontamination semi-join must BROADCAST the benchmark
+    shingle set and leave the corpus unshuffled until the per-doc
+    count agg: at 100 TB the corpus side cannot afford a
+    SortMergeJoin shuffle on exploded shingles."""
+    from qsketch.spark.textops import contamination_check
+
+    bench = spark.createDataFrame(
+        [(1000 + i, f"eval question {i} about things") for i in range(5)],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} text eval question {i % 3} about things")
+         for i in range(40)], "doc_id long, text string")
+    plan = _plan(contamination_check(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only hash exchanges: the small benchmark distinct and the
+    # post-join per-doc aggregation — never the exploded corpus side
+    # feeding the join
+    import re
+    pre_join = plan.split("BroadcastHashJoin")[-1]  # children print below
+    probe_side = pre_join.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side

@@ -745,3 +745,62 @@ def test_idf_weighted_simhash_separates_head_token_lookalikes(spark):
     # the unrelated pair
     assert ham(weighted[2], weighted[3]) <= 10
     assert ham(weighted[2], weighted[3]) < ham(weighted[0], weighted[1]) / 2
+
+
+def test_contamination_check_counts_and_misses(spark):
+    """A corpus doc sharing a trigram with the benchmark is flagged with
+    exact distinct-shingle counts; unrelated, too-short, and
+    empty/null docs never appear."""
+    from qsketch.spark.textops import contamination_check
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma y"),      # shares 'alpha beta gamma'
+         (2, "alpha beta gamma delta"),    # shares both benchmark grams
+         (3, "p q r s t"),                 # disjoint
+         (4, "alpha beta"),                # too short for a trigram
+         (5, ""), (6, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_check(corpus, bench).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: 3 distinct trigrams, 1 matched
+    assert (got[1]["n_shingles"], got[1]["n_matched"]) == (3, 1)
+    assert got[1]["contamination"] == round(1 / 3, 6)
+    # doc 2: an exact benchmark copy — both its trigrams match
+    assert (got[2]["n_shingles"], got[2]["n_matched"]) == (2, 2)
+    assert got[2]["contamination"] == 1.0
+
+
+def test_contamination_check_per_doc_distinct(spark):
+    """Repeats of a matched trigram inside one doc count ONCE (the
+    per-doc dedup is array_distinct, not row multiplicity)."""
+    from qsketch.spark.textops import contamination_check
+
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string")
+    [r] = contamination_check(corpus, bench).collect()
+    # distinct trigrams of the repeated text: 'a b c','b c a','c a b',
+    # 'a b c'(dup),... -> {'a b c','b c a','c a b'}; only 'a b c' matches
+    assert (r["n_shingles"], r["n_matched"]) == (3, 1)
+
+
+def test_repeated_ngrams_counts_tiebreak_and_floor(spark):
+    from qsketch.spark.textops import repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "z b c d"),
+         (4, "b c d"), (5, "only once here"), (6, "")],
+        "doc_id long, text string")
+    rows = repeated_ngrams(docs, min_docs=2, top=10).collect()
+    # 'a b c' in docs 1,2; 'b c d' in docs 1,3,4 — singletons filtered
+    assert [(r["shingle"], r["n_docs"]) for r in rows] == [
+        ("b c d", 3), ("a b c", 2)]
+    # tiebreak: equal counts order by shingle text ascending
+    docs2 = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "m n o"), (4, "m n o")],
+        "doc_id long, text string")
+    rows2 = repeated_ngrams(docs2, min_docs=2, top=1).collect()
+    assert [(r["shingle"], r["n_docs"]) for r in rows2] == [("m n o", 2)]
