@@ -541,6 +541,19 @@ def q_repeated_ngrams(spark, sf_dir):
     return repeated_ngrams(_docs(spark, sf_dir), min_docs=2, top=100)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: concatenate documents in
+    doc_id order and cut the token stream into 128-token windows,
+    emitting (chunk_id, doc_id, off_in_doc, n_tokens) spans — docs
+    straddle windows, the standard concat-then-chunk construction.
+    Distributed two-pass prefix sum, NOT a single-partition window
+    (textops.pack_sequences)."""
+    from qsketch.spark.textops import pack_sequences
+
+    return (pack_sequences(_docs(spark, sf_dir), chunk_tokens=128)
+            .orderBy("chunk_id", "doc_id"))
+
+
 def q_simhash_near_duplicates_idf(spark, sf_dir):
     """idf-WEIGHTED SimHash pairing (rows-only): tf-idf sign-sum votes
     via a bounded common-token idf broadcast so Zipf-head tokens stop
@@ -1188,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates_idf": q_simhash_near_duplicates_idf,
         "contamination_check": q_contamination_check,
         "repeated_ngrams": q_repeated_ngrams,
+        "pack_sequences": q_pack_sequences,
         "token_counts_top50": q_token_counts_top50,
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "top_tokens_per_source": q_top_tokens_per_source,
@@ -1449,6 +1463,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT s AS shingle, COUNT(*) AS n_docs FROM sh GROUP BY s"
             " HAVING COUNT(*) >= 2"
             " ORDER BY n_docs DESC, shingle ASC LIMIT 100"),
+        # global prefix sum over doc_id order; CAST the windowed SUM —
+        # DuckDB widens it to HUGEINT, which breaks the typed hash
+        "pack_sequences": (
+            "WITH n AS (SELECT doc_id,"
+            "   CASE WHEN text IS NULL OR text = '' THEN 0"
+            "        ELSE len(string_split(text, ' ')) END AS n_tok"
+            "   FROM documents),"
+            " c AS (SELECT doc_id, n_tok,"
+            "   CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum"
+            "   FROM n),"
+            " s AS (SELECT doc_id, n_tok, cum - n_tok AS st, cum AS en"
+            "   FROM c WHERE n_tok > 0),"
+            " sp AS (SELECT doc_id, st, en,"
+            "   unnest(range(st // 128, (en - 1) // 128 + 1)) AS chunk_id"
+            "   FROM s)"
+            " SELECT chunk_id, doc_id,"
+            " GREATEST(st, chunk_id * 128) - st AS off_in_doc,"
+            " LEAST(en, (chunk_id + 1) * 128)"
+            "   - GREATEST(st, chunk_id * 128) AS n_tokens"
+            " FROM sp ORDER BY chunk_id, doc_id"),
         # closed-form oracle: the rescue query's synthetic corpus has a
         # fully determined grouping (see q_near_duplicate_rescue)
         "near_duplicate_rescue": (

@@ -214,6 +214,91 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
                                    / F.col("n_shingles"), 6)))
 
 
+def pack_sequences(df: DataFrame, chunk_tokens: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_partitions: int | None = None) -> DataFrame:
+    """Training-window sequence packing: concatenate every doc's token
+
+    stream in `id_col` order and cut the global stream into fixed
+    ``chunk_tokens`` windows (docs may straddle windows — the standard
+    concat-then-chunk batch construction for LLM training).  Returns
+    one SPAN row per (chunk, doc) overlap: (chunk_id, doc_id,
+    off_in_doc, n_tokens), with zero-token docs occupying no window.
+    `id_col` values must be unique — with duplicates the intra-tie
+    stream order (hence the straddle split) is undefined.
+
+    Chunk assignment needs a global prefix sum BY DEFINITION, but a
+    single-partition window would serialize the corpus through one
+    task; this is the classic two-pass distributed scan instead:
+      1. project the narrow (id, n_tok) frame — token counts come from
+         one scan of the text, nothing else ever shuffles — and range-
+         partition it by id (RangePartitioner gives ascending id
+         ranges on ascending partition ids, asserted loudly);
+      2. per-partition token totals (one P-row driver finish, like the
+         bounded merge fan-in) become per-partition prefix OFFSETS;
+      3. one cached-read mapInArrow pass emits each doc's global start
+         = partition offset + running local sum (order preserved by
+         the in-partition sort).
+    The ranged frame is persisted so pass 2 and 3 see the SAME sampled
+    range boundaries (the result is boundary-independent, but the
+    offsets of pass 3 must match the totals of pass 2); Spark's
+    ContextCleaner unpersists it when the plan is collected.  Span
+    explosion is pure Catalyst (sequence over the straddled chunk ids).
+    At 100 TB the only wide op is the 16-byte/row range exchange."""
+    from pyspark import StorageLevel, TaskContext
+
+    spark = df.sparkSession
+    P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = df.select(F.col(id_col),
+                       F.size(_shingle_toks_expr(text_col)).alias("n_tok"))
+    ranged = (narrow.repartitionByRange(P, F.col(id_col))
+                    .sortWithinPartitions(id_col)
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (ranged.groupBy(F.spark_partition_id().alias("__pid"))
+                   .agg(F.sum("n_tok").alias("total"),
+                        F.min(id_col).alias("min_id"))
+                   .collect())  # bounded: one row per partition
+    by_pid = {r["__pid"]: r for r in stats}
+    mins = [by_pid[p]["min_id"] for p in sorted(by_pid)]
+    if mins != sorted(mins):
+        raise AssertionError(
+            "range partitions not in ascending id order — prefix offsets "
+            f"would be wrong (per-partition min ids: {mins})")
+    offsets, acc = {}, 0
+    for p in range(P):
+        offsets[p] = acc
+        acc += int(by_pid[p]["total"]) if p in by_pid else 0
+
+    def local_cumsum(it):
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        for batch in it:
+            n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+            ends = running + np.cumsum(n, dtype=np.int64)
+            starts = ends - n
+            running = int(ends[-1]) if len(ends) else running
+            yield pa.record_batch(
+                [batch.column(id_col), batch.column("n_tok"),
+                 pa.array(starts, type=pa.int64())],
+                names=[id_col, "n_tok", "start"])
+
+    id_type = dict(narrow.dtypes)[id_col]
+    placed = ranged.mapInArrow(
+        local_cumsum, f"{id_col} {id_type}, n_tok int, start long")
+    en = F.col("start") + F.col("n_tok")
+    first = F.expr(f"start div {chunk_tokens}")
+    last = F.expr(f"(start + n_tok - 1) div {chunk_tokens}")
+    cs = F.col("chunk_id") * chunk_tokens
+    return (placed.where(F.col("n_tok") > 0)
+            .select(id_col, "n_tok", "start",
+                    F.explode(F.sequence(first, last)).alias("chunk_id"))
+            .select(F.col("chunk_id"), F.col(id_col),
+                    (F.greatest(F.col("start"), cs)
+                     - F.col("start")).alias("off_in_doc"),
+                    (F.least(en, cs + chunk_tokens)
+                     - F.greatest(F.col("start"), cs)).alias("n_tokens")))
+
+
 def repeated_ngrams(df: DataFrame, text_col: str = "text",
                     shingle_n: int = 3, min_docs: int = 2,
                     top: int = 100) -> DataFrame:

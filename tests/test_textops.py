@@ -804,3 +804,53 @@ def test_repeated_ngrams_counts_tiebreak_and_floor(spark):
         "doc_id long, text string")
     rows2 = repeated_ngrams(docs2, min_docs=2, top=1).collect()
     assert [(r["shingle"], r["n_docs"]) for r in rows2] == [("m n o", 2)]
+
+
+def test_pack_sequences_spans_exact(spark):
+    """Known stream: docs of 3/4/2 tokens, chunk=4 -> concatenated
+    stream positions [0,3) [3,7) [7,9); chunk 0 = doc1 + 1 token of
+    doc2, chunk 1 = 3 straddled doc2 tokens + doc3's first token,
+    chunk 2 = doc3's second token (doc3 itself straddles [7,9))."""
+    from qsketch.spark.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"),
+         (4, ""), (5, None)],                    # zero-token docs: no span
+        "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["doc_id"], r["off_in_doc"], r["n_tokens"])
+        for r in pack_sequences(docs, chunk_tokens=4).collect())
+    assert rows == [
+        (0, 1, 0, 3), (0, 2, 0, 1),
+        (1, 2, 1, 3), (1, 3, 0, 1),
+        (2, 3, 1, 1)]
+
+
+def test_pack_sequences_partition_invariance(spark):
+    """The distributed two-pass prefix sum must give the SAME spans at
+    any partition count — the whole point of the offsets."""
+    from qsketch.spark.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 17)))
+         for i in range(200)], "doc_id long, text string").repartition(8)
+    ref = None
+    for p in (1, 3, 16):
+        got = sorted(map(tuple, pack_sequences(
+            docs, chunk_tokens=32, n_partitions=p).collect()))
+        if ref is None:
+            ref = got
+        assert got == ref, f"n_partitions={p} diverged"
+    # stream-coverage invariants: every chunk except the last is full,
+    # and per-doc span lengths rebuild each doc exactly
+    import collections
+    per_chunk = collections.Counter()
+    per_doc = collections.Counter()
+    for chunk_id, doc_id, off, n in ref:
+        per_chunk[chunk_id] += n
+        per_doc[doc_id] += n
+    total = sum(1 + i % 17 for i in range(200))
+    assert sum(per_chunk.values()) == total
+    last = max(per_chunk)
+    assert all(v == 32 for c, v in per_chunk.items() if c != last)
+    assert per_doc == {i: 1 + i % 17 for i in range(200)}
