@@ -818,6 +818,22 @@ def q_mix_sources(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+_BUDGETS = {f"src{i}": 300 + 100 * (i % 4) for i in range(20)}
+
+
+def q_budget_sample_sources(spark, sf_dir):
+    """Token-BUDGET dataset mixing ("300-600 tokens per source"),
+    oracle-checked: docs fill each source's budget greedily in
+    md5(id#seed) rank order, the crossing doc included — the keep set
+    is a pure function of (id, seed, budgets), so DuckDB reproduces it
+    exactly with the same windowed running sum."""
+    from qsketch.spark.textops import budget_sample_sources
+
+    out = budget_sample_sources(_docs(spark, sf_dir), _BUDGETS)
+    return (out.select("doc_id", "source", "n_tok", "cum_tokens")
+               .orderBy("source", "cum_tokens"))
+
+
 def q_build_lineage_totals(spark, sf_dir):
     """The build's per-partition lineage metrics (north rule: 'per-
     partition lineage + metrics'), driver-auditable: partial states
@@ -1202,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repeated_ngrams": q_repeated_ngrams,
         "pack_sequences": q_pack_sequences,
+        "budget_sample_sources": q_budget_sample_sources,
         "token_counts_top50": q_token_counts_top50,
         "token_bigram_counts_top50": q_token_bigram_counts_top50,
         "top_tokens_per_source": q_top_tokens_per_source,
@@ -1606,6 +1623,23 @@ def oracle_sql() -> dict[str, str]:
             " WHERE substring(md5(doc_id || '#qsketch'), 1, 8)"
             "   < CASE WHEN source IN ('src0', 'src1')"
             "          THEN '4ccccccc' ELSE 'g' END"),
+        "budget_sample_sources": (
+            "WITH n AS (SELECT doc_id, source,"
+            "   CASE WHEN text IS NULL OR text = '' THEN 0"
+            "        ELSE len(string_split(text, ' ')) END AS n_tok,"
+            "   md5(CAST(doc_id AS VARCHAR) || '#qsketch-budget') AS k"
+            "   FROM documents),"
+            " c AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,"
+            "   CAST(SUM(n_tok) OVER (PARTITION BY source"
+            "     ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)"
+            "     AS BIGINT) AS cum_tokens FROM n),"
+            " b(source, budget) AS (VALUES "
+            + ", ".join(f"('src{i}', {300 + 100 * (i % 4)})"
+                        for i in range(20)) + ")"
+            " SELECT c.doc_id, c.source, c.n_tok, c.cum_tokens"
+            " FROM c JOIN b ON b.source = c.source"
+            " WHERE c.cum_tokens - c.n_tok < b.budget"
+            " ORDER BY c.source, c.cum_tokens"),
         "text_quality": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
             " len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,"

@@ -1178,6 +1178,53 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str,
               .drop("__priority"))
 
 
+def budget_sample_sources(df: DataFrame, budgets: dict[str, int],
+                          text_col: str = "text",
+                          source_col: str = "source",
+                          id_col: str = "doc_id",
+                          default_budget: int | None = None,
+                          seed: str = "qsketch-budget") -> DataFrame:
+    """Token-BUDGET dataset mixing: deterministically fill each source's
+
+    training mix up to a target token count ("2B tokens of web, 500M
+    of books") — the budget companion to the fraction-based
+    :func:`subsample_sources`.  Docs are ranked inside each source by
+    md5(id || '#' || seed) (uniform over ids, identical across runs,
+    partitionings, and engines — oracle-checkable where rand() is not)
+    and taken greedily in rank order while the cumulative token count
+    BEFORE the doc is under the budget; the crossing doc is included,
+    so coverage reaches the budget whenever the source has enough
+    tokens.  Returns the kept rows plus (n_tok, cum_tokens) for mix
+    audits.  Sources without a budget use ``default_budget``, or are
+    dropped when it is None.
+
+    Scale: budgets join as a broadcast dim; the rank-ordered running
+    sum is one shuffle on the source key (the standard per-group
+    ordered-window plan; AQE handles source skew).  A pathological
+    mega-source serializes only ITS rows through one task's running
+    sum — if a single source outgrows a task, pre-slice it with the
+    two-pass prefix scan used by :func:`pack_sequences`."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"{source_col} string, __budget long")
+    key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                            F.lit(seed)))
+    w = (Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    how = "inner" if default_budget is None else "left"
+    bud = (F.col("__budget") if default_budget is None
+           else F.coalesce(F.col("__budget"), F.lit(int(default_budget))))
+    return (df.withColumn("n_tok",
+                          F.size(_shingle_toks_expr(text_col)).cast("long"))
+              .withColumn("cum_tokens", F.sum("n_tok").over(w))
+              .join(F.broadcast(dim), source_col, how)
+              .where((F.col("cum_tokens") - F.col("n_tok")) < bud)
+              .drop("__budget"))
+
+
 def subsample_sources(df: DataFrame, fractions: dict[str, float],
                       source_col: str = "source", id_col: str = "doc_id",
                       default_fraction: float = 1.0,

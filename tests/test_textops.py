@@ -854,3 +854,33 @@ def test_pack_sequences_partition_invariance(spark):
     last = max(per_chunk)
     assert all(v == 32 for c, v in per_chunk.items() if c != last)
     assert per_doc == {i: 1 + i % 17 for i in range(200)}
+
+
+def test_budget_sample_sources_greedy_fill(spark):
+    """Kept set = greedy md5-rank fill: cumulative-before < budget, so
+    the crossing doc IS included; unbudgeted sources drop unless a
+    default budget is given; coverage reaches the budget when the
+    source has enough tokens."""
+    from qsketch.spark.textops import budget_sample_sources
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 9 + "tok", ("a" if i < 20 else "b"))
+         for i in range(30)],  # 10 tokens per doc
+        "doc_id long, text string, source string")
+    out = budget_sample_sources(docs, {"a": 35}).collect()
+    assert {r["source"] for r in out} == {"a"}      # 'b' has no budget
+    got = sorted(r["cum_tokens"] for r in out)
+    # 10-token docs: cum-before < 35 keeps ranks 1..4 (cum 10,20,30,40)
+    assert got == [10, 20, 30, 40]
+    assert max(got) >= 35                           # budget reached
+    # with a default budget the other source participates too
+    out2 = budget_sample_sources(docs, {"a": 35}, default_budget=5).collect()
+    by_src = {}
+    for r in out2:
+        by_src.setdefault(r["source"], []).append(r["cum_tokens"])
+    assert sorted(by_src["a"]) == [10, 20, 30, 40]
+    assert sorted(by_src["b"]) == [10]              # one crossing doc
+    # determinism: same seed -> identical keep set
+    again = budget_sample_sources(docs, {"a": 35}).collect()
+    assert sorted(r["doc_id"] for r in again) == \
+        sorted(r["doc_id"] for r in out)
