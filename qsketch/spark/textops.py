@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..hash import fnv1a64, fnv1a64_buf, splitmix64
+from ..hash import fnv1a64, fnv1a64_buf, fnv1a64_str_array, splitmix64
 
 U64 = np.uint64
 _FNV_PRIME = U64(0x100000001B3)
@@ -245,6 +245,10 @@ def pack_sequences(df: DataFrame, chunk_tokens: int,
     ContextCleaner unpersists it when the plan is collected.  Span
     explosion is pure Catalyst (sequence over the straddled chunk ids).
     At 100 TB the only wide op is the 16-byte/row range exchange."""
+    if chunk_tokens < 1:
+        # without this, `start div 0` is NULL under non-ANSI SQL and
+        # explode(sequence(NULL, NULL)) silently drops every row
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     from pyspark import StorageLevel, TaskContext
 
     spark = df.sparkSession
@@ -873,19 +877,12 @@ def token_idf_weights(df: DataFrame, text_col: str = "text",
     if not top:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64),
                 1.0)
-    hashes = fnv1a64_str(np.array([r["token"] for r in top]))
+    hashes = fnv1a64_str_array([r["token"] for r in top])
     dfs = np.array([r["df"] for r in top], dtype=np.float64)
     weights = np.log(float(max(n_docs, 1)) / dfs)
     default_w = float(np.log(max(n_docs, 1) / float(dfs.min())))
     order = np.argsort(hashes)
     return hashes[order], weights[order], default_w
-
-
-def fnv1a64_str(tokens: np.ndarray) -> np.ndarray:
-    """FNV-1a64 of an array of Python strings via the packed-buffer
-    path (driver-side helper for small weight tables)."""
-    arr = pa.array(tokens.tolist(), type=pa.string())
-    return _hash_str_arrow(arr)
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -939,11 +936,13 @@ def simhash(df: DataFrame, text_col: str = "text",
                 s = np.bincount(doc_of, weights=bit, minlength=n_docs)
                 # acc = (+1)*s + (-1)*(tot-s) = 2s - tot ; bit set if > 0
                 out |= ((2.0 * s - tot) > 0).astype(np.uint64) << U64(b)
-            # token-less docs have no signal: emit NULL, not hash 0 —
-            # a shared fake hash would bucket every empty doc into one
-            # Hamming-0 cluster in simhash_pairs (quadratic at scale)
+            # signal-less docs have no hash: emit NULL, not 0 — a
+            # shared fake hash would bucket them into one Hamming-0
+            # cluster in simhash_pairs (quadratic at scale).  tot==0
+            # covers both empty docs and, under idf weights, docs made
+            # entirely of weight-0 universal tokens (df == n_docs).
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out.view(np.int64), mask=lens == 0)],
+                [ids, pa.array(out.view(np.int64), mask=tot == 0.0)],
                 names=[id_col, "simhash"])
 
     toks_expr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),

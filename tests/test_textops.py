@@ -747,6 +747,35 @@ def test_idf_weighted_simhash_separates_head_token_lookalikes(spark):
     assert ham(weighted[2], weighted[3]) < ham(weighted[0], weighted[1]) / 2
 
 
+def test_idf_weighted_simhash_masks_zero_weight_docs(spark):
+    """A doc made entirely of universal tokens (idf weight exactly 0,
+    df == n_docs) has zero signal: its hash must be NULL, not 0 —
+    hash 0 would recreate the Hamming-0 mega-bucket the empty-doc NULL
+    masking exists to prevent."""
+    from qsketch.spark.textops import simhash, token_idf_weights
+
+    # 'u1 u2' appear in EVERY doc -> weight ln(N/N) = 0.0 exactly
+    rows = [(0, "u1 u2"), (1, "u1 u2")]           # boilerplate-only docs
+    rows += [(d, f"u1 u2 w{d}a w{d}b") for d in range(2, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idf = token_idf_weights(docs)
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, idf_weights=idf).collect()}
+    assert got[0] is None and got[1] is None
+    assert all(got[d] is not None for d in range(2, 10))
+
+
+def test_pack_sequences_rejects_nonpositive_chunk(spark):
+    """chunk_tokens < 1 must raise, not silently return zero rows
+    (non-ANSI `div 0` is NULL and explode(NULL) drops every row)."""
+    from qsketch.spark.textops import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            pack_sequences(docs, chunk_tokens=bad)
+
+
 def test_contamination_check_counts_and_misses(spark):
     """A corpus doc sharing a trigram with the benchmark is flagged with
     exact distinct-shingle counts; unrelated, too-short, and

@@ -103,7 +103,7 @@ def main() -> None:
     from qsketch.spark.textops import connected_components, near_duplicate_groups
 
     base_text = " ".join(f"c{i:03d}" for i in range(58))
-    n_cluster = max(N_DOCS // 10, 1000)
+    n_cluster = min(max(N_DOCS // 10, 1000), N_DOCS)
 
     def gen_cluster(it):
         import pandas as pd
