@@ -1129,6 +1129,66 @@ def q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def q_pii_scrub_counts(spark, sf_dir):
+    """PII redaction end-to-end over a deterministically PII-injected
+    copy of documents.  The corpus text contains no '@' / dash /
+    dotted-digit spans (verified property of the token alphabet), so
+    the injected spans are provably the only matches; the oracle
+    re-runs the SAME injection and the SAME regexes through DuckDB's
+    RE2 scrubber — cross-engine evidence the Java-regex scrub behaves
+    identically.  scrub_md5 makes the check value-level: a single
+    mis-replaced byte anywhere in any scrubbed doc breaks the hash."""
+    from qsketch.spark.textops import pii_scrub
+
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(coalesce(text, ''),"
+            " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u',"
+            "   cast(doc_id AS string), '@ex', cast(doc_id % 7 AS string),"
+            "   '.com') ELSE '' END,"
+            " CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-01',"
+            "   cast(doc_id % 10 AS string), '-',"
+            "   lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.',"
+            "   cast(doc_id % 256 AS string), '.0.',"
+            "   cast(doc_id % 100 AS string)) ELSE '' END)"
+        ).alias("text"))
+    return (pii_scrub(injected)
+            .select("doc_id", "n_email", "n_phone", "n_ipv4",
+                    F.md5("scrubbed").alias("scrub_md5")))
+
+
+def q_quantile_trim_stats(spark, sf_dir):
+    """Sketch-driven length-outlier trim: the dyadic sketch (every
+    level exact at this width) computes the [q05, q95] n_chars cutoffs
+    in one mergeable pass, then a broadcast-scalar filter keeps the
+    interior — no global sort.  Cutoffs equal the exact inclusive-rank
+    quantiles, so the whole funnel is oracle-checkable."""
+    from qsketch.spark.queries import trim_by_quantile
+
+    d = _docs(spark, sf_dir)
+    kept, _lo, _hi = trim_by_quantile(
+        d, "n_chars", 0.05, 0.95, "dyadic",
+        {"domain_bits": 16, "width": 1 << 16})
+    return (kept.groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("chars_kept")))
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The full curation funnel as ONE call: quality gate (>=25
+    tokens) -> exact dedup (min-id per identical text) -> near-dup
+    dedup (Jaccard>=0.8 connected components, LSH + exact verify),
+    reported as per-source stage counts.  Oracle replays every stage
+    in SQL, including the O(n^2) exact-Jaccard join + recursive
+    closure the LSH path must match."""
+    from qsketch.spark.textops import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), min_tokens=25,
+                         threshold=0.8)
+
+
 def q_cosine_topk(spark, sf_dir):
     from qsketch.spark.similarity import cosine_topk_bruteforce
 
@@ -1206,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # winnow_fingerprints) are listed FIRST to guarantee coverage even if the
     # driver's per-round budget truncates the tail again (VERDICT r4 item 1).
     return {
+        "pii_scrub_counts": q_pii_scrub_counts,
+        "quantile_trim_stats": q_quantile_trim_stats,
+        "curation_pipeline": q_curation_pipeline,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -1330,6 +1393,92 @@ _NEAR_DUP_SQL = _SHINGLE_CTE + (
     " SELECT a, b, ni / (sa.n + sb.n - ni) AS jaccard"
     " FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b"
     " WHERE ni / (sa.n + sb.n - ni) >= 0.8")
+
+def _pii_scrub_oracle() -> str:
+    """Counts + scrub replayed through DuckDB's RE2 with the SAME
+    patterns the Spark side compiles into Java regex — the pattern
+    dict is imported, not copied, so the two engines can never drift."""
+    from qsketch.spark.textops import PII_PATTERNS as P
+
+    return (
+        f"WITH inj AS ({_PII_INJECT_SQL})"
+        " SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(text, '{P['email']}')) AS BIGINT)"
+        "   AS n_email,"
+        f" CAST(len(regexp_extract_all(text, '{P['phone']}')) AS BIGINT)"
+        "   AS n_phone,"
+        f" CAST(len(regexp_extract_all(text, '{P['ipv4']}')) AS BIGINT)"
+        "   AS n_ipv4,"
+        " md5(regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{P['email']}', '<EMAIL>', 'g'),"
+        f" '{P['phone']}', '<PHONE>', 'g'),"
+        f" '{P['ipv4']}', '<IPV4>', 'g')) AS scrub_md5"
+        " FROM inj")
+
+
+# Same deterministic PII injection as q_pii_scrub_counts, DuckDB dialect.
+_PII_INJECT_SQL = (
+    "SELECT doc_id, concat(coalesce(text, ''),"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u',"
+    "   CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 7 AS VARCHAR),"
+    "   '.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-01',"
+    "   CAST(doc_id % 10 AS VARCHAR), '-',"
+    "   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.',"
+    "   CAST(doc_id % 256 AS VARCHAR), '.0.',"
+    "   CAST(doc_id % 100 AS VARCHAR)) ELSE '' END) AS text"
+    " FROM documents")
+
+# The curation funnel replayed stage-by-stage in SQL: quality gate,
+# window-based exact dedup, then the O(n^2) exact-Jaccard near-dup
+# closure (same shingle/jaccard semantics as _NEAR_DUP_SQL, but over
+# the funnel's survivor set instead of raw documents).
+_CURATION_SQL = (
+    "WITH RECURSIVE b AS (SELECT doc_id, source, text,"
+    "   len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok"
+    "   FROM documents),"
+    " q AS (SELECT * FROM b WHERE ntok >= 25),"
+    " e AS (SELECT q.*, MIN(doc_id) OVER (PARTITION BY text) AS rep FROM q),"
+    " s AS (SELECT doc_id, source, text, ntok FROM e WHERE doc_id = rep),"
+    " t AS (SELECT doc_id, string_split(text, ' ') AS w FROM s),"
+    " w1 AS (SELECT doc_id, unnest(w) AS word,"
+    "   generate_subscripts(w, 1) AS pos FROM t),"
+    " sh0 AS (SELECT doc_id,"
+    "   word || ' ' || lead(word, 1) OVER win || ' ' ||"
+    "   lead(word, 2) OVER win AS sng,"
+    "   lead(word, 2) OVER win AS tail FROM w1"
+    "   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),"
+    " sh AS (SELECT DISTINCT doc_id, sng FROM sh0 WHERE tail IS NOT NULL),"
+    " sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni"
+    "   FROM sh x JOIN sh y ON x.sng = y.sng AND x.doc_id < y.doc_id"
+    "   GROUP BY x.doc_id, y.doc_id),"
+    " pairs AS (SELECT a, b FROM inter"
+    "   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b"
+    "   WHERE ni / (sa.n + sb.n - ni) >= 0.8),"
+    " ed AS (SELECT a, b FROM pairs"
+    "   UNION ALL SELECT b AS a, a AS b FROM pairs),"
+    " reach AS (SELECT a AS id, b AS r FROM ed"
+    "   UNION SELECT reach.id, ed.b AS r FROM reach, ed"
+    "   WHERE reach.r = ed.a),"
+    " comp AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id),"
+    " k AS (SELECT s.doc_id, s.source, s.ntok,"
+    "   COALESCE(LEAST(c.id, c.m), s.doc_id) AS gid"
+    "   FROM s LEFT JOIN comp c ON c.id = s.doc_id),"
+    " kept AS (SELECT * FROM k WHERE gid = doc_id),"
+    " a0 AS (SELECT source, COUNT(*) AS n_raw FROM b GROUP BY source),"
+    " a1 AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),"
+    " a2 AS (SELECT source, COUNT(*) AS n_exact FROM s GROUP BY source),"
+    " a3 AS (SELECT source, COUNT(*) AS n_kept,"
+    "   CAST(SUM(ntok) AS BIGINT) AS tokens_kept FROM kept GROUP BY source)"
+    " SELECT a0.source, n_raw,"
+    " CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,"
+    " CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,"
+    " CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,"
+    " CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept"
+    " FROM a0 LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)"
+    " LEFT JOIN a3 USING (source)")
 
 _STOPWORDS_SQL = "[" + ", ".join(
     f"'{w}'" for w in ("the a an and or of to in is are was were be been on "
@@ -1461,6 +1610,21 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_distinct_parts_exact": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,"
             " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
+        "pii_scrub_counts": _pii_scrub_oracle(),
+        "quantile_trim_stats": (
+            # cutoffs = exact inclusive-rank q05/q95 (the dyadic sketch
+            # is all-exact-levels at width 2^16, see q_dyadic_*)
+            "WITH c AS (SELECT n_chars AS x, COUNT(*) AS c FROM documents"
+            "   GROUP BY 1),"
+            " w AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cum,"
+            "   SUM(c) OVER () AS n FROM c),"
+            " lo AS (SELECT MIN(x) AS v FROM w WHERE cum >= ceil(0.05 * n)),"
+            " hi AS (SELECT MIN(x) AS v FROM w WHERE cum >= ceil(0.95 * n))"
+            " SELECT source, COUNT(*) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS chars_kept"
+            " FROM documents, lo, hi"
+            " WHERE n_chars >= lo.v AND n_chars <= hi.v GROUP BY source"),
+        "curation_pipeline": _CURATION_SQL,
         "exact_dedup_groups": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count"
             " FROM documents GROUP BY text"),

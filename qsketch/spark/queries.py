@@ -251,6 +251,25 @@ def quantiles(df: DataFrame, col: str, qs: list[float],
         pd.DataFrame({"q": qs, "value": np.asarray(vals, dtype=np.float64)}))
 
 
+def trim_by_quantile(df: DataFrame, col: str,
+                     lo_q: float = 0.05, hi_q: float = 0.95,
+                     kind: str = "dyadic", params: dict | None = None
+                     ) -> tuple[DataFrame, float, float]:
+    """Sketch-driven tail trim: one sketch pass computes the
+    [``lo_q``, ``hi_q``] cutoffs for ``col``, one filter pass keeps the
+    rows inside — the standard 'drop the length outliers' curation
+    step WITHOUT a global sort (at 100 TB the alternative, an exact
+    percentile, is a full-range shuffle; the sketch is one mergeable
+    pass + a broadcast scalar filter that parquet row-group stats can
+    skip on).  Returns (filtered df, lo_cut, hi_cut)."""
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+    cuts = quantiles(df.select(col), col, [lo_q, hi_q], kind, params).collect()
+    by_q = {r["q"]: r["value"] for r in cuts}
+    lo, hi = float(by_q[lo_q]), float(by_q[hi_q])
+    return df.where(F.col(col).between(F.lit(lo), F.lit(hi))), lo, hi
+
+
 def grouped_cardinality(merged_states: DataFrame, group_col: str = "group",
                         out_col: str = "n_distinct") -> DataFrame:
     """Decode merged grouped states -> (group, cardinality) WITHOUT a

@@ -1110,6 +1110,110 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text",
                      pieces.cast("long").alias("n_pieces"))
 
 
+# ---------------- PII scrubbing --------------------------------------------
+
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracles): character classes, bounded repeats,
+# no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: dict[str, str] | None = None,
+              scrubbed_col: str = "scrubbed") -> DataFrame:
+    """Count and redact PII-shaped spans (email / phone / IPv4 by
+
+    default), entirely JVM-side (regexp_count + chained regexp_replace
+    inside whole-stage codegen — no Python in the path, so the scrub
+    runs at scan speed on a 100-TB corpus).  Adds one ``n_<kind>``
+    count column per pattern (counted on the ORIGINAL text; 0 for NULL
+    text) and a ``scrubbed_col`` with every match replaced by
+    ``<KIND>`` (NULL-preserving).  Replacement applies patterns in
+    dict order — put broader patterns (email, whose domain could embed
+    an ipv4) before narrower ones."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
+                       F.lit(0)).cast("long"))
+    scrub = F.col(text_col)
+    for kind, pat in pats.items():
+        scrub = F.regexp_replace(scrub, F.lit(pat),
+                                 F.lit(f"<{kind.upper()}>"))
+    return out.withColumn(scrubbed_col, scrub)
+
+
+# ---------------- curation funnel -------------------------------------------
+
+
+def curate_corpus(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", group_col: str = "source",
+                  min_tokens: int = 25, threshold: float = 0.8,
+                  shingle_n: int = 3, max_bucket: int | None = None,
+                  rescue_oversized: bool = False,
+                  work_dir: str | None = None) -> DataFrame:
+    """End-to-end curation funnel: quality gate -> exact dedup ->
+
+    near-dup dedup, reported as per-``group_col`` stage counts
+    (n_raw, n_quality, n_exact, n_kept, tokens_kept).  A user of the
+    reference's filter service runs this as ONE call instead of wiring
+    the stages by hand.
+
+    Stage semantics (each one a standard curation pass):
+      1. quality: keep docs with >= ``min_tokens`` whitespace tokens;
+      2. exact dedup: keep the min-``id_col`` representative per
+         identical ``text_col`` (hash-partitioned on md5(text), so a
+         hot identical-text cluster lands on one partition but as a
+         pre-aggregated count, never a row explosion);
+      3. near-dup dedup: keep each doc whose id is the min of its
+         near-duplicate connected component at ``threshold`` Jaccard
+         (MinHash-LSH candidates, exact verify — see
+         :func:`near_duplicate_groups`; forward ``max_bucket`` /
+         ``rescue_oversized`` / ``work_dir`` at web scale).
+
+    Every reported stat is a map-side-combinable count/sum, so the four
+    funnel aggregations shuffle only |groups| rows each; the heavy
+    lifting (LSH) is shared with the near-dup machinery's own
+    persisted signatures."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda t: t != "")
+    base = df.select(id_col, group_col, text_col,
+                     F.size(toks).alias("__ntok"))
+    qual = base.where(F.col("__ntok") >= min_tokens)
+    rep = F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
+    exact = (qual.withColumn("__rep", rep)
+                 .where(F.col(id_col) == F.col("__rep")).drop("__rep"))
+    groups = near_duplicate_groups(exact, text_col, id_col, shingle_n,
+                                   threshold, max_bucket=max_bucket,
+                                   rescue_oversized=rescue_oversized,
+                                   work_dir=work_dir)
+    kept = (exact.join(groups, id_col)
+                 .where(F.col("group_id") == F.col(id_col)))
+    s0 = base.groupBy(group_col).agg(F.count("*").alias("n_raw"))
+    s1 = qual.groupBy(group_col).agg(F.count("*").alias("n_quality"))
+    s2 = exact.groupBy(group_col).agg(F.count("*").alias("n_exact"))
+    s3 = kept.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"),
+        F.sum("__ntok").alias("tokens_kept"))
+    zero = F.lit(0).cast("long")
+    return (s0.join(s1, group_col, "left").join(s2, group_col, "left")
+              .join(s3, group_col, "left")
+              .select(group_col, "n_raw",
+                      F.coalesce("n_quality", zero).alias("n_quality"),
+                      F.coalesce("n_exact", zero).alias("n_exact"),
+                      F.coalesce("n_kept", zero).alias("n_kept"),
+                      F.coalesce("tokens_kept", zero).alias("tokens_kept")))
+
+
 # ---------------- curation sampling ----------------------------------------
 
 

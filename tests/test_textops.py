@@ -913,3 +913,74 @@ def test_budget_sample_sources_greedy_fill(spark):
     again = budget_sample_sources(docs, {"a": 35}).collect()
     assert sorted(r["doc_id"] for r in again) == \
         sorted(r["doc_id"] for r in out)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Counts on the original text, redaction replaces every span,
+    and an email whose domain embeds a dotted quad is consumed by the
+    email pattern first (documented dict-order semantics)."""
+    from qsketch.spark.textops import pii_scrub
+
+    rows = [
+        (0, "mail me at a.b+c@ex-1.org or b@ex.io thanks"),
+        (1, "call 555-012-3456 now"),
+        (2, "from 10.2.0.7 and 192.168.1.1"),
+        (3, "user@10.1.2.3.net logged in"),   # email swallows the quad
+        (4, None),
+        (5, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ipv4"]) == (2, 0, 0)
+    assert got[0]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert got[1]["n_phone"] == 1
+    assert got[1]["scrubbed"] == "call <PHONE> now"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["scrubbed"] == "from <IPV4> and <IPV4>"
+    # counts are independent per pattern (the quad is ALSO an ipv4 hit
+    # on the original text) but the scrub applies email first
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (1, 1)
+    assert got[3]["scrubbed"] == "<EMAIL> logged in"
+    assert got[4]["scrubbed"] is None and got[4]["n_email"] == 0
+    assert got[5]["scrubbed"] == "nothing here"
+
+
+def test_trim_by_quantile_exact_cutoffs(spark):
+    """Dyadic all-exact-levels mode: cutoffs equal the inclusive-rank
+    quantiles, and the filter keeps exactly the interior."""
+    from qsketch.spark.queries import trim_by_quantile
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "x long")
+    kept, lo, hi = trim_by_quantile(
+        df, "x", 0.05, 0.95, "dyadic", {"domain_bits": 8, "width": 256})
+    assert (lo, hi) == (5.0, 95.0)
+    vals = sorted(r["x"] for r in kept.collect())
+    assert vals == list(range(5, 96))
+    with pytest.raises(ValueError):
+        trim_by_quantile(df, "x", 0.9, 0.1)
+
+
+def test_curate_corpus_stage_counts(spark):
+    """Hand-checkable funnel: quality gate drops the short doc, exact
+    dedup keeps min-id per identical text, near-dup dedup drops the
+    mutated copy (component rep lives in the OTHER source)."""
+    from qsketch.spark.textops import curate_corpus
+
+    base = " ".join(f"w{i}" for i in range(20))          # 20 tokens
+    near = base.rsplit(" ", 1)[0] + " zz"                # Jaccard ~ 0.71
+    rows = [
+        (0, "a", base),
+        (1, "a", base),                                  # exact dup of 0
+        (2, "a", "short doc"),                           # < min_tokens
+        (3, "b", near),                                  # near dup of 0
+        (4, "b", " ".join(f"x{i}" for i in range(20))),  # distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           curate_corpus(df, min_tokens=3, threshold=0.5).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_raw"], a["n_quality"], a["n_exact"], a["n_kept"]) == (3, 2, 1, 1)
+    assert a["tokens_kept"] == 20
+    # doc 3's component representative is doc 0 (source a) -> b keeps only doc 4
+    assert (b["n_raw"], b["n_quality"], b["n_exact"], b["n_kept"]) == (2, 2, 2, 1)
+    assert b["tokens_kept"] == 20
