@@ -310,7 +310,9 @@ def main() -> None:
                  "pack_sequences", "budget_sample_sources",
                  "cosine_topk", "source_token_overlap",
                  "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
-                 "sample_docs_per_source", "mix_sources"):
+                 "sample_docs_per_source", "mix_sources",
+                 "pii_scrub_counts", "quantile_trim_stats",
+                 "curation_pipeline"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t

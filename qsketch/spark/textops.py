@@ -1169,9 +1169,10 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     Stage semantics (each one a standard curation pass):
       1. quality: keep docs with >= ``min_tokens`` whitespace tokens;
       2. exact dedup: keep the min-``id_col`` representative per
-         identical ``text_col`` (hash-partitioned on md5(text), so a
-         hot identical-text cluster lands on one partition but as a
-         pre-aggregated count, never a row explosion);
+         identical ``text_col`` (groupBy on md5(text) — partial
+         aggregation collapses a hot identical-text cluster map-side,
+         then a semi-join on the UNIQUE id key, so no skewed shuffle
+         ever moves whole rows);
       3. near-dup dedup: keep each doc whose id is the min of its
          near-duplicate connected component at ``threshold`` Jaccard
          (MinHash-LSH candidates, exact verify — see
@@ -1182,16 +1183,14 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     funnel aggregations shuffle only |groups| rows each; the heavy
     lifting (LSH) is shared with the near-dup machinery's own
     persisted signatures."""
-    from pyspark.sql.window import Window
-
     toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                     lambda t: t != "")
     base = df.select(id_col, group_col, text_col,
                      F.size(toks).alias("__ntok"))
     qual = base.where(F.col("__ntok") >= min_tokens)
-    rep = F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
-    exact = (qual.withColumn("__rep", rep)
-                 .where(F.col(id_col) == F.col("__rep")).drop("__rep"))
+    reps = (qual.groupBy(F.md5(F.col(text_col)).alias("__dig"))
+                .agg(F.min(id_col).alias(id_col)).drop("__dig"))
+    exact = qual.join(reps, id_col, "left_semi")
     groups = near_duplicate_groups(exact, text_col, id_col, shingle_n,
                                    threshold, max_bucket=max_bucket,
                                    rescue_oversized=rescue_oversized,
