@@ -249,6 +249,50 @@ def q_source_token_overlap(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test split (md5-interval assignment —
+    a pure narrow projection, no shuffle, and a row can never migrate
+    between splits across runs/engines), reported as per-(source,
+    split) counts.  The oracle rebuilds the SAME CASE expression from
+    textops.split_boundaries, so the two engines share one interval
+    layout by construction."""
+    from qsketch.spark.textops import stratified_split
+
+    s = stratified_split(_docs(spark, sf_dir), _SPLIT_FRACTIONS)
+    return (s.groupBy("source", "split")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars"))
+             .orderBy("source", "split"))
+
+
+def _stratified_split_oracle() -> str:
+    from qsketch.spark.textops import split_boundaries
+
+    key = "substr(md5(concat(CAST(doc_id AS VARCHAR), '#', 'qsketch')), 1, 8)"
+    bounds = split_boundaries(_SPLIT_FRACTIONS)
+    whens = " ".join(f"WHEN {key} < '{thr}' THEN '{name}'"
+                     for name, thr in bounds[:-1])
+    case = f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+    return (f"SELECT source, {case} AS split, COUNT(*) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_source_token_divergence(spark, sf_dir):
+    """Pairwise total-variation distance between source token
+    distributions, in the exact integer domain (tvd_num =
+    sum_t |c_a*N_b - c_b*N_a| over the token union) — bit-for-bit
+    oracle-checkable dataset-mixing drift monitor; see
+    textops.source_token_divergence for the shared-tokens-only
+    factorization and the 100-TB shape."""
+    from qsketch.spark.textops import source_token_divergence
+
+    return source_token_divergence(_docs(spark, sf_dir))
+
+
 def _source_bigrams(spark, sf_dir):
     """(source, bigram) pairs, JVM-side n-gram construction — the
     driver-scale domain large enough (~650-760 distinct per source) to
@@ -1269,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_counts": q_pii_scrub_counts,
         "quantile_trim_stats": q_quantile_trim_stats,
         "curation_pipeline": q_curation_pipeline,
+        "source_token_divergence": q_source_token_divergence,
+        "stratified_split": q_stratified_split,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -1611,6 +1657,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,"
             " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
         "pii_scrub_counts": _pii_scrub_oracle(),
+        "stratified_split": _stratified_split_oracle(),
+        "source_token_divergence": (
+            "WITH t AS (SELECT source, unnest(string_split("
+            "   coalesce(text, ''), ' ')) AS token FROM documents),"
+            " c AS (SELECT source, token, COUNT(*) AS c FROM t"
+            "   WHERE token <> '' GROUP BY 1, 2),"
+            " n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n"
+            "   FROM c GROUP BY 1),"
+            " sh AS (SELECT ca.source AS a, cb.source AS b,"
+            "   SUM(ABS(ca.c * nb.n - cb.c * na.n)"
+            "       - ca.c * nb.n - cb.c * na.n) AS adj"
+            "   FROM c ca JOIN c cb"
+            "     ON ca.token = cb.token AND ca.source < cb.source"
+            "   JOIN n na ON na.source = ca.source"
+            "   JOIN n nb ON nb.source = cb.source GROUP BY 1, 2),"
+            " p AS (SELECT na.source AS a, nb.source AS b,"
+            "   na.n AS n_a, nb.n AS n_b FROM n na"
+            "   JOIN n nb ON na.source < nb.source),"
+            " o AS (SELECT a, b, n_a, n_b,"
+            "   CAST(2 * n_a * n_b + COALESCE(adj, 0) AS BIGINT) AS tvd_num"
+            "   FROM p LEFT JOIN sh USING (a, b))"
+            " SELECT a, b, n_a, n_b, tvd_num,"
+            " ROUND(CAST(tvd_num AS DOUBLE) / (2.0 * n_a * n_b), 6) AS tvd"
+            " FROM o ORDER BY a, b"),
         "quantile_trim_stats": (
             # cutoffs = exact inclusive-rank q05/q95 (the dyadic sketch
             # is all-exact-levels at width 2^16, see q_dyadic_*)

@@ -312,7 +312,8 @@ def main() -> None:
                  "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
                  "sample_docs_per_source", "mix_sources",
                  "pii_scrub_counts", "quantile_trim_stats",
-                 "curation_pipeline"):
+                 "curation_pipeline", "source_token_divergence",
+                 "stratified_split"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t

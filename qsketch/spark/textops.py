@@ -1213,6 +1213,120 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                       F.coalesce("tokens_kept", zero).alias("tokens_kept")))
 
 
+def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(split name, EXCLUSIVE upper 8-hex md5-prefix bound) per split,
+    in dict order; the last bound is the 'g' sentinel (sorts above all
+    hex, see :func:`subsample_sources`).  Shared by
+    :func:`stratified_split` and its SQL oracle so the two can never
+    drift."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if any(f < 0 for f in fractions.values()) or abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must be >= 0 and sum to 1, got {fractions}")
+    names = list(fractions)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(max(int(cum * 16**8), 0), "08x")))
+    out.append((names[-1], "g"))
+    return out
+
+
+def stratified_split(df: DataFrame, fractions: dict[str, float],
+                     id_col: str = "doc_id",
+                     seed: str = "qsketch",
+                     split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``split_col``
+    labelling each row with the split whose md5 interval contains
+    md5(id || '#' || seed)'s 8-hex prefix.  Fractions must sum to 1
+    (±1e-9); boundaries are cumulative-fraction thresholds in md5-hex
+    space, the last interval is unbounded above ('g' sentinel, see
+    :func:`subsample_sources`) so float rounding can never orphan a
+    row.  A pure narrow projection — no shuffle, no rand() (the
+    assignment is a function of (id, seed), identical across runs,
+    partitionings, and engines, so a row NEVER migrates between train
+    and test when the corpus is re-processed — the leakage guarantee
+    rand()-based splits cannot give).  Dict insertion order fixes the
+    interval layout; changing ``seed`` redraws the whole assignment."""
+    bounds = split_boundaries(fractions)
+    key = F.substring(
+        F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(seed))),
+        1, 8)
+    expr = None
+    for name, thr in bounds[:-1]:
+        cond = key < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(split_col,
+                         last if expr is None else expr.otherwise(last))
+
+
+# ---------------- distribution drift ----------------------------------------
+
+
+def source_token_divergence(df: DataFrame, text_col: str = "text",
+                            group_col: str = "source") -> DataFrame:
+    """Pairwise total-variation distance between per-group token
+    OCCURRENCE distributions — the dataset-mixing monitor ("did source
+    X's token mix drift from source Y's?").
+
+    Computed entirely in the EXACT INTEGER domain so the result is
+    bit-for-bit oracle-checkable: with c_p(t) the occurrence count of
+    token t in group p and N_p = Σ_t c_p(t),
+
+        tvd_num(p, q) = Σ_t |c_p(t)·N_q − c_q(t)·N_p|   (union of t)
+                      = 2·N_p·N_q
+                        + Σ_{t shared} (|c_p N_q − c_q N_p|
+                                         − c_p N_q − c_q N_p)
+
+    so only SHARED tokens enter the join (each group's absent-token
+    mass folds into the 2·N_p·N_q closed form), and
+    TVD = tvd_num / (2·N_p·N_q) ∈ [0, 1] is derived from the integer
+    at the end (identically in any engine).
+
+    Scale shape: one map-side-combinable (group, token) count, a tiny
+    broadcast totals dim, and a token-keyed self-join whose per-token
+    bucket is ≤ |groups| rows — cost ∝ shared vocab × pairs-per-token,
+    never |corpus|².  The pair frame itself is a broadcast cross of
+    the |groups|-row totals dim.  N.B. the integer terms are c·N
+    products — exact in int64 up to ~10^18; past that (≳10^9-token
+    groups) switch the sum to decimal(38,0) or accept double rounding.
+    """
+    toks = (df.select(group_col,
+                      F.explode(F.split(F.coalesce(F.col(text_col),
+                                                   F.lit("")),
+                                        " ")).alias("token"))
+              .where(F.col("token") != ""))
+    counts = toks.groupBy(group_col, "token").agg(F.count("*").alias("c"))
+    totals = counts.groupBy(group_col).agg(F.sum("c").alias("n"))
+    ca = counts.select(F.col(group_col).alias("a"), "token",
+                       F.col("c").alias("ca"))
+    cb = counts.select(F.col(group_col).alias("b"), "token",
+                       F.col("c").alias("cb"))
+    na = totals.select(F.col(group_col).alias("a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col(group_col).alias("b"), F.col("n").alias("n_b"))
+    term = (F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            - F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    adj = (ca.join(cb, "token").where(F.col("a") < F.col("b"))
+             .join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+             .groupBy("a", "b").agg(F.sum(term).alias("adj")))
+    pairs = (F.broadcast(na).crossJoin(F.broadcast(nb))
+             .where(F.col("a") < F.col("b")))
+    num = (F.lit(2) * F.col("n_a") * F.col("n_b")
+           + F.coalesce("adj", F.lit(0)))
+    return (pairs.join(adj, ["a", "b"], "left")
+                 .select("a", "b", F.col("n_a").cast("long").alias("n_a"),
+                         F.col("n_b").cast("long").alias("n_b"),
+                         num.cast("long").alias("tvd_num"))
+                 .withColumn("tvd", F.round(
+                     F.col("tvd_num")
+                     / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6))
+                 .orderBy("a", "b"))
+
+
 # ---------------- curation sampling ----------------------------------------
 
 

@@ -984,3 +984,59 @@ def test_curate_corpus_stage_counts(spark):
     # doc 3's component representative is doc 0 (source a) -> b keeps only doc 4
     assert (b["n_raw"], b["n_quality"], b["n_exact"], b["n_kept"]) == (2, 2, 2, 1)
     assert b["tokens_kept"] == 20
+
+
+def test_source_token_divergence_closed_form(spark):
+    """Hand-checked TVD: p = (x:2/3, y:1/3) vs q = (x:1/2, z:1/2)
+    -> 0.5·Σ|p−q| = 0.5, tvd_num = Σ|c_p·N_q − c_q·N_p| = 6; identical
+    distributions -> 0; disjoint vocabularies -> 1."""
+    from qsketch.spark.textops import source_token_divergence
+
+    df = spark.createDataFrame(
+        [(0, "p", "x x y"), (1, "q", "x z"),
+         (2, "r", "x x y"), (3, "s", "u v")],
+        "doc_id long, source string, text string")
+    got = {(r["a"], r["b"]): r for r in
+           source_token_divergence(df).collect()}
+    assert len(got) == 6                     # all C(4,2) pairs present
+    pq = got[("p", "q")]
+    assert (pq["n_a"], pq["n_b"], pq["tvd_num"]) == (3, 2, 6)
+    assert pq["tvd"] == 0.5
+    assert got[("p", "r")]["tvd_num"] == 0   # identical distribution
+    assert got[("p", "s")]["tvd"] == 1.0     # disjoint vocab (no shared)
+    assert got[("q", "s")]["tvd"] == 1.0
+
+
+def test_stratified_split_partition_and_determinism(spark):
+    """Every row gets exactly one label, proportions are close to the
+    fractions, reruns & repartitionings agree row-for-row, and
+    validation rejects bad fractions."""
+    from qsketch.spark.textops import split_boundaries, stratified_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = stratified_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000
+    from collections import Counter
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 <= c["train"] / 2000 <= 0.85
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["split"]
+             for r in stratified_split(df.repartition(7),
+                                       {"train": 0.8, "val": 0.1,
+                                        "test": 0.1}).collect()}
+    assert again == rows
+    # different seed redraws
+    other = {r["doc_id"]: r["split"]
+             for r in stratified_split(df, {"train": 0.8, "val": 0.1,
+                                            "test": 0.1},
+                                       seed="other").collect()}
+    assert other != rows
+    with pytest.raises(ValueError):
+        split_boundaries({"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError):
+        split_boundaries({})
+    # single-split degenerate case labels everything
+    one = stratified_split(df, {"all": 1.0}).select("split").distinct()
+    assert [r["split"] for r in one.collect()] == ["all"]
