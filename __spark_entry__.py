@@ -268,17 +268,56 @@ def q_stratified_split(spark, sf_dir):
              .orderBy("source", "split"))
 
 
-def _stratified_split_oracle() -> str:
+def _split_case_sql() -> str:
+    """The md5-interval CASE expression for _SPLIT_FRACTIONS, rebuilt
+    from textops.split_boundaries so Spark and the oracle share one
+    interval layout by construction."""
     from qsketch.spark.textops import split_boundaries
 
     key = "substr(md5(concat(CAST(doc_id AS VARCHAR), '#', 'qsketch')), 1, 8)"
     bounds = split_boundaries(_SPLIT_FRACTIONS)
     whens = " ".join(f"WHEN {key} < '{thr}' THEN '{name}'"
                      for name, thr in bounds[:-1])
-    case = f"CASE {whens} ELSE '{bounds[-1][0]}' END"
-    return (f"SELECT source, {case} AS split, COUNT(*) AS n_docs,"
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+def _stratified_split_oracle() -> str:
+    return (f"SELECT source, {_split_case_sql()} AS split,"
+            " COUNT(*) AS n_docs,"
             " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
             " FROM documents GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: stratified_split composed with
+    contamination_check — which train-split docs share a word 3-gram
+    with any val/test doc.  The split labels and the n-gram scrub are
+    both engine-reproducible, so the flagged set is too; see
+    textops.split_leakage for the broadcast shape."""
+    from qsketch.spark.textops import split_leakage
+
+    return (split_leakage(_docs(spark, sf_dir), _SPLIT_FRACTIONS)
+            .orderBy("doc_id"))
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-2 corpus shuffle: pos = rank of
+    md5(doc_id#2#qsketch) via the two-pass distributed prefix sum (no
+    single-partition window); reruns and other engines reproduce the
+    permutation exactly — see textops.epoch_shuffle."""
+    from qsketch.spark.textops import epoch_shuffle
+
+    return (epoch_shuffle(_docs(spark, sf_dir), epoch=2)
+            .select("doc_id", "pos").orderBy("pos"))
+
+
+def q_token_frequency_histogram(spark, sf_dir):
+    """Frequency-of-frequency (Zipf) histogram over the token
+    occurrence counts, power-of-two buckets — the vocabulary-shape
+    monitor that sizes CMS widths; exact integer counts, ≤64 rows."""
+    from qsketch.spark.textops import token_frequency_histogram
+
+    return token_frequency_histogram(_docs(spark, sf_dir))
 
 
 def q_source_token_divergence(spark, sf_dir):
@@ -1315,6 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "source_token_divergence": q_source_token_divergence,
         "stratified_split": q_stratified_split,
+        "split_leakage": q_split_leakage,
+        "epoch_shuffle": q_epoch_shuffle,
+        "token_frequency_histogram": q_token_frequency_histogram,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -1658,6 +1700,34 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
         "pii_scrub_counts": _pii_scrub_oracle(),
         "stratified_split": _stratified_split_oracle(),
+        "split_leakage": _SHINGLE_CTE + (
+            ","
+            f" lab AS (SELECT doc_id, {_split_case_sql()} AS split"
+            "   FROM documents),"
+            " bsh AS (SELECT DISTINCT s FROM sh JOIN lab USING (doc_id)"
+            "   WHERE lab.split <> 'train'),"
+            " cor AS (SELECT sh.doc_id, s FROM sh JOIN lab USING (doc_id)"
+            "   WHERE lab.split = 'train'),"
+            " sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cor"
+            "   GROUP BY doc_id),"
+            " m AS (SELECT c.doc_id, COUNT(*) AS n_matched FROM cor c"
+            "   JOIN bsh ON c.s = bsh.s GROUP BY c.doc_id)"
+            " SELECT m.doc_id, sz.n_shingles, m.n_matched,"
+            " ROUND(m.n_matched / sz.n_shingles, 6) AS contamination"
+            " FROM m JOIN sz ON sz.doc_id = m.doc_id ORDER BY m.doc_id"),
+        "epoch_shuffle": (
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"
+            " md5(concat(CAST(doc_id AS VARCHAR), '#2#qsketch')), doc_id)"
+            " - 1 AS BIGINT) AS pos FROM documents ORDER BY pos"),
+        "token_frequency_histogram": (
+            "WITH t AS (SELECT unnest(string_split(coalesce(text, ''),"
+            "   ' ')) AS token FROM documents),"
+            " c AS (SELECT token, COUNT(*) AS c FROM t"
+            "   WHERE token <> '' GROUP BY 1)"
+            " SELECT CAST(FLOOR(LOG2(c)) AS BIGINT) AS bucket,"
+            " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+            " CAST(SUM(c) AS BIGINT) AS occurrences"
+            " FROM c GROUP BY 1 ORDER BY 1"),
         "source_token_divergence": (
             "WITH t AS (SELECT source, unnest(string_split("
             "   coalesce(text, ''), ' ')) AS token FROM documents),"

@@ -313,7 +313,8 @@ def main() -> None:
                  "sample_docs_per_source", "mix_sources",
                  "pii_scrub_counts", "quantile_trim_stats",
                  "curation_pipeline", "source_token_divergence",
-                 "stratified_split"):
+                 "stratified_split", "split_leakage", "epoch_shuffle",
+                 "token_frequency_histogram"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t

@@ -303,6 +303,68 @@ def pack_sequences(df: DataFrame, chunk_tokens: int,
                      - F.greatest(F.col("start"), cs)).alias("n_tokens")))
 
 
+def epoch_shuffle(df: DataFrame, epoch: int = 0,
+                  id_col: str = "doc_id", seed: str = "qsketch",
+                  pos_col: str = "pos",
+                  n_partitions: int | None = None) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle: adds ``pos_col`` = the
+    row's 0-based position in the ascending order of
+    md5(id || '#' || epoch || '#' || seed) (ties — md5 collisions —
+    broken by id; ``id_col`` values must be unique or the intra-tie
+    order is undefined).  Every epoch is a fresh full permutation, yet
+    a pure function of (id, epoch, seed): reruns, retries, and other
+    engines reproduce the exact same order — the reproducible-training
+    property rand()-based shuffles cannot give, and the md5 key is
+    uniform so the permutation is unbiased.
+
+    A global rank needs a global sort BY DEFINITION, but a
+    single-partition row_number window would serialize the corpus
+    through one task; this is the same two-pass distributed scan as
+    :func:`pack_sequences`: range-partition by the md5 key (uniform ⇒
+    zero-skew ranges), per-partition counts become prefix offsets (one
+    P-row driver finish), then a cached-read mapInArrow pass emits
+    offset + local index.  At 100 TB the only wide op is the one range
+    exchange a shuffle intrinsically requires."""
+    from pyspark import StorageLevel, TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                            F.lit(str(int(epoch))), F.lit(seed)))
+    ranged = (df.withColumn("__key", key)
+                .repartitionByRange(P, F.col("__key"), F.col(id_col))
+                .sortWithinPartitions("__key", id_col)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (ranged.groupBy(F.spark_partition_id().alias("__pid"))
+                   .agg(F.count("*").alias("total"),
+                        F.min("__key").alias("min_key"))
+                   .collect())  # bounded: one row per partition
+    by_pid = {r["__pid"]: r for r in stats}
+    mins = [by_pid[p]["min_key"] for p in sorted(by_pid)]
+    if mins != sorted(mins):
+        raise AssertionError(
+            "range partitions not in ascending key order — prefix offsets "
+            f"would be wrong (per-partition min keys: {mins})")
+    offsets, acc = {}, 0
+    for p in range(P):
+        offsets[p] = acc
+        acc += int(by_pid[p]["total"]) if p in by_pid else 0
+
+    def local_index(it):
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        for batch in it:
+            pos = pa.array(
+                np.arange(running, running + batch.num_rows, dtype=np.int64))
+            running += batch.num_rows
+            yield batch.append_column(pa.field(pos_col, pa.int64()), pos)
+
+    out_schema = StructType(list(ranged.schema.fields)
+                            + [StructField(pos_col, LongType(), False)])
+    return ranged.mapInArrow(local_index, out_schema).drop("__key")
+
+
 def repeated_ngrams(df: DataFrame, text_col: str = "text",
                     shingle_n: int = 3, min_docs: int = 2,
                     top: int = 100) -> DataFrame:
@@ -1264,7 +1326,65 @@ def stratified_split(df: DataFrame, fractions: dict[str, float],
                          last if expr is None else expr.otherwise(last))
 
 
+def split_leakage(df: DataFrame, fractions: dict[str, float],
+                  train_split: str | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  seed: str = "qsketch", shingle_n: int = 3) -> DataFrame:
+    """Cross-split contamination audit: which TRAIN docs share a word
+    n-gram with ANY eval-split (val/test) doc — the leakage check a
+    training pipeline runs right after :func:`stratified_split` (a
+    near-duplicate that landed across the split boundary silently
+    inflates eval scores; this surfaces it before training).
+
+    ``train_split`` defaults to the first key of ``fractions``.  Output
+    is :func:`contamination_check`'s per-doc shape over the train side:
+    (id_col, n_shingles, n_matched, contamination) for flagged docs.
+
+    100-TB shape: the split labels are a narrow zero-shuffle projection
+    (see :func:`stratified_split`), and the eval side is small by
+    construction (val+test fractions), so its distinct shingle set
+    broadcasts and the train side stays one scan — the
+    :func:`contamination_check` plan unchanged."""
+    s = stratified_split(df, fractions, id_col=id_col, seed=seed)
+    name = train_split if train_split is not None else next(iter(fractions))
+    if name not in fractions:
+        raise ValueError(f"train_split {name!r} not in fractions")
+    train = s.where(F.col("split") == name)
+    evals = s.where(F.col("split") != name)
+    return contamination_check(train, evals, text_col=text_col,
+                               id_col=id_col, shingle_n=shingle_n)
+
+
 # ---------------- distribution drift ----------------------------------------
+
+
+def token_frequency_histogram(df: DataFrame, text_col: str = "text",
+                              shingle_n: int = 1) -> DataFrame:
+    """Frequency-of-frequency (Zipf) histogram: for each power-of-two
+    bucket b, how many DISTINCT tokens (word n-grams for
+    ``shingle_n`` > 1) occur c times with floor(log2(c)) == b, and how
+    many occurrences they carry — the vocabulary-shape monitor (heavy
+    Zipf head vs hapax tail) that decides CMS widths and heavy-hitter
+    budgets.
+
+    Integer counts, bucketed by floor(log2(c)): exact for every c
+    because IEEE log2 is exact at powers of two and non-powers sit
+    ≥ ~1/c away from an integer (≫ 1 ulp for any c < 2^50), so the
+    bucket is engine-portable despite the float hop.  Output ≤ 64 rows.
+
+    Scale shape: one map-side-combinable (token, count) aggregation —
+    the same shuffle `repeated_ngrams` pays — then a ≤64-key second
+    aggregation that collapses map-side to nothing."""
+    grams = (F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+             if shingle_n == 1 else
+             _word_shingles_expr(text_col, shingle_n))
+    toks = (df.select(F.explode(grams).alias("token"))
+              .where(F.col("token") != ""))
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    return (counts.groupBy(F.floor(F.log2("c")).cast("long").alias("bucket"))
+                  .agg(F.count("*").alias("n_tokens"),
+                       F.sum("c").alias("occurrences"))
+                  .orderBy("bucket"))
 
 
 def source_token_divergence(df: DataFrame, text_col: str = "text",

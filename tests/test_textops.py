@@ -1040,3 +1040,77 @@ def test_stratified_split_partition_and_determinism(spark):
     # single-split degenerate case labels everything
     one = stratified_split(df, {"all": 1.0}).select("split").distinct()
     assert [r["split"] for r in one.collect()] == ["all"]
+
+
+def test_epoch_shuffle_permutation_and_determinism(spark):
+    """pos is a full 0..n-1 permutation, invariant to input
+    partitioning and partition count, epoch-sensitive, and equal to
+    the definitional rank of md5(id#epoch#seed)."""
+    import hashlib
+
+    from qsketch.spark.textops import epoch_shuffle
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(500)],
+                               "doc_id long, text string")
+    out = epoch_shuffle(df, epoch=1, n_partitions=4)
+    assert out.columns == ["doc_id", "text", "pos"]
+    rows = {r["doc_id"]: r["pos"] for r in out.collect()}
+    assert sorted(rows.values()) == list(range(500))
+    # invariant to input partitioning AND rank-partition count
+    again = {r["doc_id"]: r["pos"]
+             for r in epoch_shuffle(df.repartition(7), epoch=1,
+                                    n_partitions=3).collect()}
+    assert again == rows
+    # a different epoch is a different full permutation
+    e2 = {r["doc_id"]: r["pos"]
+          for r in epoch_shuffle(df, epoch=2, n_partitions=4).collect()}
+    assert e2 != rows
+    assert sorted(e2.values()) == list(range(500))
+
+    # matches the definition computed outside Spark
+    def k(i):
+        return hashlib.md5(f"{i}#1#qsketch".encode()).hexdigest()
+
+    expect = {i: r for r, i in
+              enumerate(sorted(range(500), key=lambda i: (k(i), i)))}
+    assert rows == expect
+
+
+def test_token_frequency_histogram_closed_form(spark):
+    """Counts a:5 b:2 c:2 d:1 -> buckets {2: one token/5 occ,
+    1: two tokens/4 occ, 0: one token/1 occ}; null text contributes
+    nothing."""
+    from qsketch.spark.textops import token_frequency_histogram
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a a b c c d"), (2, None)],
+        "doc_id long, text string")
+    got = {r["bucket"]: (r["n_tokens"], r["occurrences"])
+           for r in token_frequency_histogram(df).collect()}
+    assert got == {0: (1, 1), 1: (2, 4), 2: (1, 5)}
+
+
+def test_split_leakage_flags_exactly_train_docs(spark):
+    """Every doc shares the trigram 'x y z', so every TRAIN doc leaks
+    exactly that one shingle; a disjoint-vocabulary corpus yields no
+    rows; unknown train_split raises."""
+    from qsketch.spark.textops import split_leakage, stratified_split
+
+    df = spark.createDataFrame(
+        [(i, f"x y z t{i} u{i} v{i}") for i in range(40)],
+        "doc_id long, text string")
+    fr = {"train": 0.5, "test": 0.5}
+    split = {r["doc_id"]: r["split"]
+             for r in stratified_split(df, fr).collect()}
+    train_ids = {i for i, s in split.items() if s == "train"}
+    assert train_ids and len(train_ids) < 40   # both splits non-empty
+    got = {r["doc_id"]: r for r in split_leakage(df, fr).collect()}
+    assert set(got) == train_ids
+    for r in got.values():
+        assert (r["n_shingles"], r["n_matched"]) == (4, 1)
+    clean = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i}") for i in range(40)],
+        "doc_id long, text string")
+    assert split_leakage(clean, fr).count() == 0
+    with pytest.raises(ValueError):
+        split_leakage(df, fr, train_split="nope")
