@@ -320,6 +320,26 @@ def q_token_frequency_histogram(spark, sf_dir):
     return token_frequency_histogram(_docs(spark, sf_dir))
 
 
+def q_token_rarity_scores(spark, sf_dir):
+    """Per-doc unigram-LM quality score (the perplexity-filter analog)
+    in the exact integer log2-bucket domain — see
+    textops.token_rarity_scores for the two-pass LM-filter shape."""
+    from qsketch.spark.textops import token_rarity_scores
+
+    return token_rarity_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_vocabulary_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over the deterministic epoch-0
+    shuffle order, word BIGRAMS (the unigram vocab is ~31 tokens at
+    driver scale — degenerate), 10 position deciles; pure integer
+    arithmetic so the curve is engine-exact."""
+    from qsketch.spark.textops import vocabulary_growth
+
+    return vocabulary_growth(_docs(spark, sf_dir), n_buckets=10,
+                             epoch=0, shingle_n=2)
+
+
 def q_source_token_divergence(spark, sf_dir):
     """Pairwise total-variation distance between source token
     distributions, in the exact integer domain (tvd_num =
@@ -1357,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "epoch_shuffle": q_epoch_shuffle,
         "token_frequency_histogram": q_token_frequency_histogram,
+        "token_rarity_scores": q_token_rarity_scores,
+        "vocabulary_growth": q_vocabulary_growth,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -1719,6 +1741,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"
             " md5(concat(CAST(doc_id AS VARCHAR), '#2#qsketch')), doc_id)"
             " - 1 AS BIGINT) AS pos FROM documents ORDER BY pos"),
+        "token_rarity_scores": (
+            "WITH t AS (SELECT doc_id, unnest(string_split("
+            "   coalesce(text, ''), ' ')) AS token FROM documents),"
+            " tt AS (SELECT doc_id, token FROM t WHERE token <> ''),"
+            " v AS (SELECT token, CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT)"
+            "   AS bucket FROM tt GROUP BY 1)"
+            " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+            " CAST(SUM(bucket) AS BIGINT) AS sum_bucket,"
+            " ROUND(SUM(bucket) / COUNT(*), 6) AS mean_bucket"
+            " FROM tt JOIN v USING (token)"
+            " GROUP BY doc_id ORDER BY doc_id"),
+        "vocabulary_growth": (
+            "WITH p AS (SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY"
+            "   md5(concat(CAST(doc_id AS VARCHAR), '#0#qsketch')),"
+            "   doc_id) - 1 AS pos FROM documents),"
+            " t AS (SELECT pos, string_split(text, ' ') AS w FROM p),"
+            " w1 AS (SELECT pos, unnest(w) AS word,"
+            "   generate_subscripts(w, 1) AS i FROM t),"
+            " g0 AS (SELECT pos, word || ' ' || lead(word, 1) OVER win"
+            "   AS s, lead(word, 1) OVER win AS tail FROM w1"
+            "   WINDOW win AS (PARTITION BY pos ORDER BY i)),"
+            " g AS (SELECT pos, s FROM g0 WHERE tail IS NOT NULL),"
+            " f AS (SELECT s, MIN(pos) AS first_pos FROM g GROUP BY 1),"
+            " b AS (SELECT first_pos * 10 //"
+            "   (SELECT COUNT(*) FROM documents) AS bucket,"
+            "   COUNT(*) AS new_tokens FROM f GROUP BY 1)"
+            " SELECT CAST(bucket AS BIGINT) AS bucket,"
+            " CAST(new_tokens AS BIGINT) AS new_tokens,"
+            " CAST(SUM(new_tokens) OVER (ORDER BY bucket) AS BIGINT)"
+            " AS vocab_size FROM b ORDER BY bucket"),
         "token_frequency_histogram": (
             "WITH t AS (SELECT unnest(string_split(coalesce(text, ''),"
             "   ' ')) AS token FROM documents),"

@@ -314,7 +314,8 @@ def main() -> None:
                  "pii_scrub_counts", "quantile_trim_stats",
                  "curation_pipeline", "source_token_divergence",
                  "stratified_split", "split_leakage", "epoch_shuffle",
-                 "token_frequency_histogram"):
+                 "token_frequency_histogram", "token_rarity_scores",
+                 "vocabulary_growth"):
         fn = entrymod.queries()[name]
         t, _, _ = _median_timed(lambda f=fn: f(spark, SF_DIR).collect())
         queries[name] = t

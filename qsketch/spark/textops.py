@@ -1387,6 +1387,94 @@ def token_frequency_histogram(df: DataFrame, text_col: str = "text",
                   .orderBy("bucket"))
 
 
+def token_rarity_scores(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram-LM quality score in the exact integer
+    domain — the engine-portable analog of the perplexity filter
+    production pipelines run before training (CCNet-style: fit a
+    unigram model on the corpus, score every doc by its mean token
+    log-probability, trim the tails).
+
+    Each token scores floor(log2(c(t))) where c(t) is its corpus
+    occurrence count — exactly mean log2-probability shifted by the
+    constant log2(C_total), bucketed so the score is integer-exact
+    across engines (see :func:`token_frequency_histogram` for why the
+    float hop cannot misbucket).  Output per doc with ≥ 1 token:
+    (id_col, n_tokens, sum_bucket, mean_bucket) — HIGH mean_bucket =
+    common-token boilerplate, LOW = rare-token / junk tail; trim both.
+
+    100-TB shape — the standard two-pass LM filter: pass 1 is a
+    word-count-shaped map-side-combinable aggregation producing the
+    vocabulary table (≪ corpus; Zipf head carries the mass); pass 2
+    re-scans the corpus and joins exploded tokens to it — AQE
+    broadcasts the vocabulary when it fits, else this is one hash
+    shuffle by token — then one per-doc aggregation.  No floats cross
+    an engine boundary except the final ROUND(mean, 6)."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.coalesce(F.col(text_col),
+                                                   F.lit("")), " "))
+                       .alias("token"))
+              .where(F.col("token") != ""))
+    vocab = (toks.groupBy("token")
+                 .agg(F.floor(F.log2(F.count("*")))
+                       .cast("long").alias("bucket")))
+    return (toks.join(vocab, "token")
+                .groupBy(id_col)
+                .agg(F.count("*").alias("n_tokens"),
+                     F.sum("bucket").alias("sum_bucket"),
+                     F.round(F.sum("bucket") / F.count("*"), 6)
+                      .alias("mean_bucket")))
+
+
+def vocabulary_growth(df: DataFrame, n_buckets: int = 10,
+                      epoch: int = 0, text_col: str = "text",
+                      id_col: str = "doc_id", seed: str = "qsketch",
+                      shingle_n: int = 1) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over one training epoch: walk
+    the corpus in :func:`epoch_shuffle` order, split it into
+    ``n_buckets`` equal position ranges, and report per bucket how many
+    NEW distinct tokens (word n-grams for ``shingle_n`` > 1) first
+    appear there plus the running vocabulary size — the monitor that
+    tells a training run whether late data still contributes novel
+    vocabulary or is rehashing the head (epoch-order-sensitive, which
+    is why it composes the deterministic shuffle rather than doc_id
+    order).
+
+    Pure integer arithmetic end to end: bucket = first_pos *
+    n_buckets DIV n_docs, so any engine reproduces the curve
+    bit-for-bit.
+
+    100-TB shape: the epoch_shuffle range exchange, then a
+    word-count-shaped (token, min pos) aggregation — map-side
+    combinable, the same shuffle a vocabulary build pays — then a
+    ≤ n_buckets-row cumulative window (driver-trivial)."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    n_docs = df.select(id_col, text_col).count()
+    if n_docs == 0:
+        raise ValueError("vocabulary_growth needs a non-empty corpus")
+    ordered = epoch_shuffle(df.select(id_col, text_col), epoch=epoch,
+                            id_col=id_col, seed=seed)
+    grams = (F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+             if shingle_n == 1 else
+             _word_shingles_expr(text_col, shingle_n))
+    toks = (ordered.select("pos", F.explode(grams).alias("token"))
+                   .where(F.col("token") != ""))
+    first = toks.groupBy("token").agg(F.min("pos").alias("first_pos"))
+    per_bucket = (first.groupBy(
+                      F.expr(f"first_pos * {int(n_buckets)} div {n_docs}")
+                       .alias("bucket"))
+                       .agg(F.count("*").alias("new_tokens")))
+    # <= n_buckets rows: the single-partition running-sum window is bounded
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (per_bucket.select(
+                "bucket", "new_tokens",
+                F.sum("new_tokens").over(w).alias("vocab_size"))
+            .orderBy("bucket"))
+
+
 def source_token_divergence(df: DataFrame, text_col: str = "text",
                             group_col: str = "source") -> DataFrame:
     """Pairwise total-variation distance between per-group token

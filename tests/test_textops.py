@@ -1114,3 +1114,55 @@ def test_split_leakage_flags_exactly_train_docs(spark):
     assert split_leakage(clean, fr).count() == 0
     with pytest.raises(ValueError):
         split_leakage(df, fr, train_split="nope")
+
+
+def test_token_rarity_scores_closed_form(spark):
+    """Counts a:3 b:1 c:1 -> buckets a:1 b:0 c:0; doc0 'a a b' scores
+    (3, 2, 0.666667), doc1 'a c' scores (2, 1, 0.5); null/empty docs
+    emit nothing."""
+    from qsketch.spark.textops import token_rarity_scores
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, None), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_bucket"], r["mean_bucket"])
+           for r in token_rarity_scores(df).collect()}
+    assert got == {0: (3, 2, 0.666667), 1: (2, 1, 0.5)}
+
+
+def test_vocabulary_growth_matches_python_replay(spark):
+    """The bucketed first-occurrence curve equals a pure-Python replay
+    of the definition (md5 epoch order, min pos per token, integer
+    div buckets); cumulative ends at the distinct vocab size and the
+    result is partitioning-invariant."""
+    import hashlib
+
+    from qsketch.spark.textops import vocabulary_growth
+
+    texts = {i: f"common t{i % 7} u{i}" for i in range(60)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = [(r["bucket"], r["new_tokens"], r["vocab_size"])
+           for r in vocabulary_growth(df, n_buckets=5, epoch=3).collect()]
+
+    order = sorted(range(60), key=lambda i: (
+        hashlib.md5(f"{i}#3#qsketch".encode()).hexdigest(), i))
+    first: dict[str, int] = {}
+    for pos, i in enumerate(order):
+        for tok in texts[i].split():
+            first.setdefault(tok, pos)
+    buckets: dict[int, int] = {}
+    for pos in first.values():
+        b = pos * 5 // 60
+        buckets[b] = buckets.get(b, 0) + 1
+    expect, cum = [], 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        expect.append((b, buckets[b], cum))
+    assert got == expect
+    assert got[-1][2] == len(first) == 1 + 7 + 60
+    # partitioning-invariant
+    again = [(r["bucket"], r["new_tokens"], r["vocab_size"])
+             for r in vocabulary_growth(df.repartition(9), n_buckets=5,
+                                        epoch=3).collect()]
+    assert again == got
