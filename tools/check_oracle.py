@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -43,13 +44,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = fn(spark, sf_dir).toPandas()
+        timings[name] = time.perf_counter() - t0
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows, "
-                  f"cols={list(sdf.columns)}")
+                  f"cols={list(sdf.columns)}  ({timings[name]:.2f}s)")
             continue
         odf = con.sql(oracles[name]).df()
         a, b = normalize(sdf), normalize(odf)
@@ -76,9 +80,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
                       "(driver typed-hash will mismatch)")
                 ok = False
         if ok:
-            print(f"[OK]        {name}: {len(a)} rows match oracle")
+            print(f"[OK]        {name}: {len(a)} rows match oracle"
+                  f"  ({timings[name]:.2f}s)")
         else:
             failures += 1
+    if timings:
+        total = sum(timings.values())
+        worst = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        print(f"[time]      spark-side total {total:.1f}s over "
+              f"{len(timings)} queries; slowest: "
+              + ", ".join(f"{k}={v:.1f}s" for k, v in worst))
     # smoke entry()
     if only:
         spark.stop()
