@@ -61,6 +61,17 @@ def _dot_expr(a: str, b: str):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _safe_cosine_expr(dot, n1: str, n2: str):
+    """dot / (n1 * n2) with cosine = NULL for a zero-norm side: an
+    all-zeros embedding (padding row, failed encoder) has no defined
+    angle, and the raw division would raise DIVIDE_BY_ZERO under
+    Spark's ANSI default instead of scoring the pair.  NULL is dropped
+    by every ``cosine >= t`` filter and sorts below all scores in the
+    top-k windows (desc => nulls last)."""
+    denom = F.col(n1) * F.col(n2)
+    return F.when(denom != 0.0, dot / denom)
+
+
 def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
     """(a, b, cosine) from a joined pair frame carrying (__va, __vb,
     __na, __nb) — the verify dot products computed VECTORIZED per Arrow
@@ -89,9 +100,16 @@ def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
             dots = np.einsum("ij,ij->i", va, vb)
             na = batch.column("__na").to_numpy(zero_copy_only=False)
             nb = batch.column("__nb").to_numpy(zero_copy_only=False)
+            # zero-norm side -> cosine NULL, matching _safe_cosine_expr
+            # (a bare divide would emit NaN, and NaN PASSES Spark's
+            # `cosine >= t` filter — NaN sorts above all doubles)
+            denom = na * nb
+            ok = denom != 0.0
+            vals = np.divide(dots, denom, out=np.zeros_like(dots),
+                             where=ok)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("a"), batch.column("b"),
-                 pa.array(dots / (na * nb), type=pa.float64())],
+                 pa.array(vals, type=pa.float64(), mask=~ok)],
                 names=["a", "b", "cosine"])
 
     return pairs.mapInArrow(fn, f"a {a_t}, b {b_t}, cosine double")
@@ -115,8 +133,8 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     joined = c.crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col, id_col,
-        (_dot_expr(vec_col, "__qvec")
-         / (F.col("__cnorm") * F.col("__qnorm"))).alias("cosine"))
+        _safe_cosine_expr(_dot_expr(vec_col, "__qvec"),
+                          "__cnorm", "__qnorm").alias("cosine"))
     return _topk(scored, k, query_id_col, id_col)
 
 
@@ -157,8 +175,8 @@ def _rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
     return (cand.join(c, id_col)
                 .join(F.broadcast(q), query_id_col)
                 .select(query_id_col, id_col,
-                        (_dot_expr(vec_col, "__qvec")
-                         / (F.col("__cnorm") * F.col("__qnorm")))
+                        _safe_cosine_expr(_dot_expr(vec_col, "__qvec"),
+                                          "__cnorm", "__qnorm")
                         .alias("cosine")))
 
 
@@ -337,8 +355,8 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         raise ValueError(f"unknown method {method!r}")
     return (pairs.select(
                 "a", "b",
-                (_dot_expr("__va", "__vb")
-                 / (F.col("__na") * F.col("__nb"))).alias("cosine"))
+                _safe_cosine_expr(_dot_expr("__va", "__vb"),
+                                  "__na", "__nb").alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
 

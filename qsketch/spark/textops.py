@@ -362,7 +362,12 @@ def epoch_shuffle(df: DataFrame, epoch: int = 0,
 
     out_schema = StructType(list(ranged.schema.fields)
                             + [StructField(pos_col, LongType(), False)])
-    return ranged.mapInArrow(local_index, out_schema).drop("__key")
+    out = ranged.mapInArrow(local_index, out_schema).drop("__key")
+    # the prefix-sum pass already counted every partition; expose the
+    # total so composing callers (vocabulary_growth) need no extra
+    # corpus scan just for n_rows
+    out._qsketch_total_rows = acc  # type: ignore[attr-defined]
+    return out
 
 
 def repeated_ngrams(df: DataFrame, text_col: str = "text",
@@ -631,15 +636,28 @@ def oversized_bucket_star_pairs(banded: DataFrame, id_col: str = "doc_id",
     similarity guarantee until verified; members whose similarity to
     the representative is below threshold stay out (still
     capped-recall, but the cluster core is recovered)."""
+    counted = _count_buckets(banded, id_col)
+    return _star_pairs(counted, id_col, max_bucket).distinct()
+
+
+def _count_buckets(banded: DataFrame, id_col: str) -> DataFrame:
+    """banded + (__n, __rep) per (band, band_key) bucket in ONE window
+    pass — the single shuffle shared by the cap split and the star
+    rescue (the two semantics must never drift: both near_duplicates'
+    rescue branch and oversized_bucket_star_pairs route through here)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "band_key")
-    over = (banded.withColumn("__n", F.count("*").over(w))
-                  .where(F.col("__n") > max_bucket)
+    return (banded.withColumn("__n", F.count("*").over(w))
                   .withColumn("__rep", F.min(id_col).over(w)))
-    return (over.where(F.col(id_col) != F.col("__rep"))
-            .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
-            .distinct())
+
+
+def _star_pairs(counted: DataFrame, id_col: str,
+                max_bucket: int) -> DataFrame:
+    """(bucket-min rep, member) pairs for every bucket over the cap."""
+    return (counted.where((F.col("__n") > max_bucket)
+                          & (F.col(id_col) != F.col("__rep")))
+            .select(F.col("__rep").alias("a"), F.col(id_col).alias("b")))
 
 
 def near_duplicates(df: DataFrame, text_col: str = "text",
@@ -674,24 +692,16 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     if rescue_oversized:
         if max_bucket is None:
             raise ValueError("rescue_oversized requires max_bucket")
-        from pyspark.sql.window import Window
-
-        # ONE window pass computes both the bucket size (for the cap
-        # split) and the bucket representative (for the star pairs) —
-        # calling _pairs_from_banded + oversized_bucket_star_pairs
-        # separately would run the same partitionBy(band, band_key)
-        # count shuffle twice over the banded frame
-        w = Window.partitionBy("band", "band_key")
-        counted = (banded_signatures(sigs, id_col, bands, rows)
-                   .withColumn("__n", F.count("*").over(w))
-                   .withColumn("__rep", F.min(id_col).over(w))
+        # ONE window pass (_count_buckets) computes both the bucket
+        # size (for the cap split) and the representative (for the
+        # star pairs); persisted because the capped and rescued halves
+        # each consume it
+        counted = (_count_buckets(banded_signatures(sigs, id_col, bands,
+                                                    rows), id_col)
                    .persist(StorageLevel.MEMORY_AND_DISK))
         under = counted.where(F.col("__n") <= max_bucket) \
                        .drop("__n", "__rep")
-        stars = (counted.where((F.col("__n") > max_bucket)
-                               & (F.col(id_col) != F.col("__rep")))
-                 .select(F.col("__rep").alias("a"),
-                         F.col(id_col).alias("b")))
+        stars = _star_pairs(counted, id_col, max_bucket)
         cands = _bucket_self_join(under, id_col).union(stars).distinct()
     else:
         cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket)
@@ -1241,10 +1251,14 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
          :func:`near_duplicate_groups`; forward ``max_bucket`` /
          ``rescue_oversized`` / ``work_dir`` at web scale).
 
-    Every reported stat is a map-side-combinable count/sum, so the four
-    funnel aggregations shuffle only |groups| rows each; the heavy
-    lifting (LSH) is shared with the near-dup machinery's own
-    persisted signatures."""
+    Every reported stat is a map-side-combinable count/sum, so the
+    three funnel aggregations (raw+quality fused into one conditional
+    count) shuffle only |groups| rows each; the heavy lifting (LSH) is
+    shared with the near-dup machinery's own persisted signatures, and
+    the exact-dedup survivors are persisted once for their four
+    downstream consumers."""
+    from pyspark import StorageLevel
+
     toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                     lambda t: t != "")
     base = df.select(id_col, group_col, text_col,
@@ -1252,27 +1266,36 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     qual = base.where(F.col("__ntok") >= min_tokens)
     reps = (qual.groupBy(F.md5(F.col(text_col)).alias("__dig"))
                 .agg(F.min(id_col).alias(id_col)).drop("__dig"))
-    exact = qual.join(reps, id_col, "left_semi")
+    # the exact-dedup survivors fan out to FOUR consumers (the LSH
+    # signature build, the verify's shingle sets, the kept join, and
+    # the s2/s3 funnel counts) — persist once so one collect of the
+    # funnel does not re-run the corpus scan + md5 groupBy + semi-join
+    # per consumer.  ContextCleaner unpersists with the plan.
+    exact = (qual.join(reps, id_col, "left_semi")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
     groups = near_duplicate_groups(exact, text_col, id_col, shingle_n,
                                    threshold, max_bucket=max_bucket,
                                    rescue_oversized=rescue_oversized,
                                    work_dir=work_dir)
     kept = (exact.join(groups, id_col)
                  .where(F.col("group_id") == F.col(id_col)))
-    s0 = base.groupBy(group_col).agg(F.count("*").alias("n_raw"))
-    s1 = qual.groupBy(group_col).agg(F.count("*").alias("n_quality"))
+    # n_raw and n_quality in ONE pass over the raw scan (a conditional
+    # count instead of a second filter+agg scan of the same input)
+    s01 = base.groupBy(group_col).agg(
+        F.count("*").alias("n_raw"),
+        F.sum((F.col("__ntok") >= min_tokens).cast("long"))
+         .alias("n_quality"))
     s2 = exact.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     s3 = kept.groupBy(group_col).agg(
         F.count("*").alias("n_kept"),
         F.sum("__ntok").alias("tokens_kept"))
     zero = F.lit(0).cast("long")
-    return (s0.join(s1, group_col, "left").join(s2, group_col, "left")
-              .join(s3, group_col, "left")
-              .select(group_col, "n_raw",
-                      F.coalesce("n_quality", zero).alias("n_quality"),
-                      F.coalesce("n_exact", zero).alias("n_exact"),
-                      F.coalesce("n_kept", zero).alias("n_kept"),
-                      F.coalesce("tokens_kept", zero).alias("tokens_kept")))
+    return (s01.join(s2, group_col, "left")
+               .join(s3, group_col, "left")
+               .select(group_col, "n_raw", "n_quality",
+                       F.coalesce("n_exact", zero).alias("n_exact"),
+                       F.coalesce("n_kept", zero).alias("n_kept"),
+                       F.coalesce("tokens_kept", zero).alias("tokens_kept")))
 
 
 def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
@@ -1291,7 +1314,13 @@ def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
     out, cum = [], 0.0
     for name in names[:-1]:
         cum += fractions[name]
-        out.append((name, format(max(int(cum * 16**8), 0), "08x")))
+        bound = max(int(cum * 16**8), 0)
+        # clamp to the sentinel: format(16**8, "08x") is NINE hex chars
+        # ('100000000'), which breaks the 8-char lexicographic compare
+        # (every prefix not starting '0' would sort ABOVE it and fall
+        # through to later splits) — reachable when a leading fraction
+        # is 1.0 or float accumulation rounds cum up to 1.0
+        out.append((name, "g" if bound >= 16**8 else format(bound, "08x")))
     out.append((names[-1], "g"))
     return out
 
@@ -1452,11 +1481,13 @@ def vocabulary_growth(df: DataFrame, n_buckets: int = 10,
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    n_docs = df.select(id_col, text_col).count()
-    if n_docs == 0:
-        raise ValueError("vocabulary_growth needs a non-empty corpus")
     ordered = epoch_shuffle(df.select(id_col, text_col), epoch=epoch,
                             id_col=id_col, seed=seed)
+    # epoch_shuffle's prefix-sum pass already counted every partition —
+    # reuse its total instead of a dedicated full corpus scan
+    n_docs = ordered._qsketch_total_rows
+    if n_docs == 0:
+        raise ValueError("vocabulary_growth needs a non-empty corpus")
     grams = (F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
              if shingle_n == 1 else
              _word_shingles_expr(text_col, shingle_n))

@@ -408,6 +408,41 @@ def test_embedding_near_duplicates_lsh_matches_exact(spark):
     assert lsh == exact
 
 
+def test_embedding_near_duplicates_zero_norm_pair(spark):
+    """TWO zero-norm embeddings (padding rows / failed encoder output)
+    must never be reported as near-duplicates of each other and must
+    not crash either path.  One zero vector is harmless (_norm_expr's
+    1e-300 floor gives cosine 0.0), but a PAIR of them — which always
+    collides in every SRP bucket, since sign(0) is deterministic — has
+    denominator 1e-300 * 1e-300, which UNDERFLOWS to exactly 0.0:
+    the JVM division then raises DIVIDE_BY_ZERO under Spark's ANSI
+    default, and the Arrow verify emitted 0/0 = NaN, which PASSES
+    `cosine >= t` because NaN sorts above all doubles (regression)."""
+    from qsketch.spark.similarity import (cosine_topk_bruteforce,
+                                          embedding_near_duplicates)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 16))
+    base[1] = base[0] + 0.01 * rng.normal(size=16)  # one true near-dup
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows.append((99, [0.0] * 16))   # two padding rows: every LSH
+    rows.append((100, [0.0] * 16))  # bucket contains both
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    for method in ("exact", "lsh"):
+        got = embedding_near_duplicates(emb, threshold=0.9, method=method,
+                                        n_bits=4, n_tables=32).collect()
+        pairs = {(r["a"], r["b"]) for r in got}
+        assert pairs == {(0, 1)}, (method, pairs)
+        assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+    # brute-force top-k from a zero-vector query: every score is 0.0 or
+    # NULL, never NaN, and the call does not raise
+    qs = emb.where(F.col("vec_id") == 99).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk_bruteforce(emb, qs, k=14).collect()
+    assert all(r["cosine"] is None or r["cosine"] == 0.0 for r in top)
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee: docs sharing a >= (shingle_n + window - 1)-word
     substring share at least one fingerprint; identical docs share all."""
@@ -1040,6 +1075,15 @@ def test_stratified_split_partition_and_determinism(spark):
     # single-split degenerate case labels everything
     one = stratified_split(df, {"all": 1.0}).select("split").distinct()
     assert [r["split"] for r in one.collect()] == ["all"]
+    # a NON-LAST split whose cumulative fraction reaches 1.0 must get
+    # the 'g' sentinel, not the 9-hex '100000000' (which breaks the
+    # 8-char lexicographic compare: 'deadbeef' < '100000000' is False,
+    # so ~15/16 of rows would fall through to the zero-width split)
+    assert split_boundaries({"train": 1.0, "test": 0.0}) == [
+        ("train", "g"), ("test", "g")]
+    full = stratified_split(df, {"train": 1.0, "test": 0.0})
+    assert [r["split"] for r in full.select("split").distinct()
+            .collect()] == ["train"]
 
 
 def test_epoch_shuffle_permutation_and_determinism(spark):
