@@ -644,6 +644,20 @@ def q_repeated_ngrams(spark, sf_dir):
     return repeated_ngrams(_docs(spark, sf_dir), min_docs=2, top=100)
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2022 shape):
+    per doc, how many token positions sit inside a 5-token window
+    whose exact word sequence occurs >= 2 times anywhere in the
+    corpus, and how many maximal spans those positions merge into —
+    the spans a dedup scrub would cut.  Two shuffles (gram counts,
+    per-doc fold), nothing quadratic; window=5 is the scaled-down
+    stand-in for the production ~50 (textops.duplicated_span_stats)."""
+    from qsketch.spark.textops import duplicated_span_stats
+
+    return (duplicated_span_stats(_docs(spark, sf_dir), window=5)
+            .orderBy("doc_id"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for training batches: concatenate documents in
     doc_id order and cut the token stream into 128-token windows,
@@ -1390,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates_idf": q_simhash_near_duplicates_idf,
         "contamination_check": q_contamination_check,
         "repeated_ngrams": q_repeated_ngrams,
+        "duplicated_spans": q_duplicated_spans,
         "pack_sequences": q_pack_sequences,
         "budget_sample_sources": q_budget_sample_sources,
         "token_counts_top50": q_token_counts_top50,
@@ -1836,6 +1851,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT s AS shingle, COUNT(*) AS n_docs FROM sh GROUP BY s"
             " HAVING COUNT(*) >= 2"
             " ORDER BY n_docs DESC, shingle ASC LIMIT 100"),
+        # duplicated 5-token windows -> covered positions -> maximal
+        # spans (gaps-and-islands); the engine's interval fold must
+        # reproduce this coverage arithmetic exactly
+        "duplicated_spans": (
+            "WITH docs AS (SELECT doc_id,"
+            "   string_split(coalesce(text, ''), ' ') AS toks"
+            "   FROM documents),"
+            " wins AS (SELECT doc_id, i AS pos,"
+            "   array_to_string(toks[i:i+4], ' ') AS gram"
+            "   FROM docs, unnest(range(1, len(toks) - 3)) AS t(i)"
+            "   WHERE len(toks) >= 5),"
+            " dup AS (SELECT gram FROM wins GROUP BY gram"
+            "   HAVING COUNT(*) >= 2),"
+            " hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (gram)),"
+            " cov AS (SELECT DISTINCT doc_id, pos + d AS tp"
+            "   FROM hits, unnest(range(0, 5)) AS u(d)),"
+            " marks AS (SELECT doc_id, tp,"
+            "   CASE WHEN lag(tp) OVER (PARTITION BY doc_id ORDER BY tp)"
+            "        = tp - 1 THEN 0 ELSE 1 END AS is_start FROM cov),"
+            " per AS (SELECT doc_id, COUNT(*) AS dup_tokens,"
+            "   CAST(SUM(is_start) AS BIGINT) AS n_spans"
+            "   FROM marks GROUP BY doc_id)"
+            " SELECT p.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,"
+            " p.dup_tokens, p.n_spans"
+            " FROM per p JOIN docs d USING (doc_id) ORDER BY p.doc_id"),
         # global prefix sum over doc_id order; CAST the windowed SUM —
         # DuckDB widens it to HUGEINT, which breaks the typed hash
         "pack_sequences": (

@@ -392,6 +392,84 @@ def repeated_ngrams(df: DataFrame, text_col: str = "text",
               .limit(top))
 
 
+def duplicated_span_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", window: int = 5,
+                          min_count: int = 2) -> DataFrame:
+    """Exact-substring duplication profile, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    measurement: a token WINDOW (production pipelines use ~50; pass a
+    small ``window`` for short docs) is *duplicated* when its exact
+    word sequence occurs >= ``min_count`` times anywhere in the corpus
+    — across docs or repeated within one.  Returns, for every doc
+    containing at least one duplicated window,
+
+        (id_col, n_tokens, dup_tokens, n_spans)
+
+    where ``dup_tokens`` counts token positions covered by any
+    duplicated window and ``n_spans`` counts the maximal runs of
+    covered positions (overlapping/adjacent windows merge — the spans
+    a scrubbing pass would actually cut).  ``dup_tokens / n_tokens``
+    is the doc's duplicated-text fraction; kept as two integers so the
+    driver oracle compares exactly.
+
+    100-TB shape: two corpus scans and two shuffles, nothing
+    quadratic.  Pass 1 counts window occurrences grouped by the gram —
+    map-side partial aggregation collapses the (Zipf-skewed) hot head
+    before the shuffle, and only grams at/over ``min_count`` survive
+    the filter.  Pass 2 re-derives the windows (recomputing a parquet
+    scan + split is cheaper than caching an exploded ~n_tokens-row
+    frame) and hash-joins them against the surviving gram set.  The
+    span merge never explodes coverage positions: per doc the matched
+    window STARTS collect locally (bounded by the doc's own length),
+    sort, and fold through one Catalyst ``aggregate`` lambda — a
+    linear interval merge inside whole-stage codegen, no UDF.  At real
+    scale, hash the gram to a fingerprint before the groupBy
+    (qsketch.hash.fnv1a64) so the shuffle carries 8-byte keys instead
+    of ~50-token strings; kept as strings here for oracle
+    bit-parity."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    grams = _word_shingles_expr(text_col, window)
+
+    def windows():
+        return (df.select(F.col(id_col), grams.alias("__g"))
+                  .where(F.size("__g") > 0)
+                  .select(id_col, F.size("__g").alias("__nwin"),
+                          F.posexplode("__g").alias("__p0", "gram")))
+
+    dup = (windows().groupBy("gram").agg(F.count("*").alias("__n"))
+           .where(F.col("__n") >= min_count).select("gram"))
+    hits = (windows().join(dup, "gram")
+            .select(id_col,
+                    # n_tokens = n_windows + window - 1 (re-derived from
+                    # the gram count so the explode carries one int, not
+                    # the token array)
+                    (F.col("__nwin") + F.lit(window - 1)).alias("__ntok"),
+                    (F.col("__p0") + 1).cast("long").alias("__start")))
+    acc0 = F.struct(F.lit(-1).cast("long").alias("end"),
+                    F.lit(0).cast("long").alias("cov"),
+                    F.lit(0).cast("long").alias("spans"))
+
+    def _merge(acc, s):
+        e = s + F.lit(window - 1)
+        return F.struct(
+            F.greatest(acc["end"], e).alias("end"),
+            (acc["cov"] + F.greatest(
+                e - F.greatest(acc["end"], s - 1),
+                F.lit(0).cast("long"))).alias("cov"),
+            (acc["spans"] + F.when(s > acc["end"] + 1, 1)
+                             .otherwise(0)).alias("spans"))
+
+    folded = F.aggregate(F.sort_array(F.collect_list("__start")),
+                         acc0, _merge)
+    return (hits.groupBy(id_col)
+            .agg(F.first("__ntok").cast("long").alias("n_tokens"),
+                 folded.alias("__f"))
+            .select(id_col, "n_tokens",
+                    F.col("__f.cov").alias("dup_tokens"),
+                    F.col("__f.spans").alias("n_spans")))
+
+
 # ---------------- shingles & MinHash ---------------------------------------
 
 

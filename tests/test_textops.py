@@ -870,6 +870,69 @@ def test_repeated_ngrams_counts_tiebreak_and_floor(spark):
     assert [(r["shingle"], r["n_docs"]) for r in rows2] == [("m n o", 2)]
 
 
+def test_duplicated_span_stats_exact(spark):
+    """Hand-computed Lee-et-al duplication profile at window=3:
+    cross-doc shared runs, WITHIN-doc repetition (a window occurring
+    twice in one doc is duplicated), adjacency merge (coverage ending
+    at p and restarting at p+1 is ONE span), and the n_tokens /
+    too-short / unique-doc exclusions."""
+    from qsketch.spark.textops import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e x y z"),      # shares run a..e with doc 1
+         (1, "q a b c d e r"),
+         (2, "m n o p m n o"),        # within-doc repeat, gap -> 2 spans
+         (3, "u v w u v w"),          # repeats at pos 1 and 4: coverage
+                                      # [1,3]+[4,6] adjacent -> 1 span
+         (4, "zz yy xx ww"),          # all windows unique -> absent
+         (5, "s t")],                 # shorter than window -> absent
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"])
+           for r in duplicated_span_stats(docs, window=3).collect()}
+    assert got == {0: (8, 5, 1),   # positions 1-5 covered (a b c d e)
+                   1: (7, 5, 1),   # positions 2-6
+                   2: (7, 6, 2),   # [1,3] and [5,7], gap at 4
+                   3: (6, 6, 1)}   # [1,3]+[4,6] merge
+    # min_count above every multiplicity -> empty result
+    assert duplicated_span_stats(docs, window=3, min_count=5).count() == 0
+    with pytest.raises(ValueError):
+        duplicated_span_stats(docs, window=1)
+
+
+def test_duplicated_span_stats_matches_bruteforce(spark):
+    """Randomized parity vs a driver-side brute force: tiny vocab so
+    window collisions are common; checks the two-pass gram counting
+    and the Catalyst interval fold against plain Python sets."""
+    from qsketch.spark.textops import duplicated_span_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(6)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+             for _ in range(60)]
+    W = 4
+    counts: dict[tuple, int] = {}
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - W + 1):
+            g = tuple(toks[i:i + W])
+            counts[g] = counts.get(g, 0) + 1
+    expect = {}
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        cov = set()
+        for i in range(len(toks) - W + 1):
+            if counts[tuple(toks[i:i + W])] >= 2:
+                cov.update(range(i, i + W))
+        if cov:
+            spans = sum(1 for p in cov if p - 1 not in cov)
+            expect[d] = (len(toks), len(cov), spans)
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"])
+           for r in duplicated_span_stats(docs, window=W).collect()}
+    assert got == expect and len(expect) > 10
+
+
 def test_pack_sequences_spans_exact(spark):
     """Known stream: docs of 3/4/2 tokens, chunk=4 -> concatenated
     stream positions [0,3) [3,7) [7,9); chunk 0 = doc1 + 1 token of
