@@ -658,6 +658,21 @@ def q_duplicated_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_scrub_duplicated_spans(spark, sf_dir):
+    """The CUT that follows the duplicated_spans measurement (Lee et
+    al. 2022 ExactSubstr removal): rebuild every doc with the tokens
+    inside duplicated 5-token windows removed, keeping each duplicated
+    gram's canonical (first (doc_id, pos)) occurrence so one copy of
+    every passage survives deterministically.  Emits
+    (doc_id, n_tokens, n_cut, text_scrubbed) for ALL docs — the
+    scrubbed corpus itself, not just a profile
+    (textops.scrub_duplicated_spans)."""
+    from qsketch.spark.textops import scrub_duplicated_spans
+
+    return (scrub_duplicated_spans(_docs(spark, sf_dir), window=5)
+            .orderBy("doc_id"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for training batches: concatenate documents in
     doc_id order and cut the token stream into 128-token windows,
@@ -1405,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repeated_ngrams": q_repeated_ngrams,
         "duplicated_spans": q_duplicated_spans,
+        "scrub_duplicated_spans": q_scrub_duplicated_spans,
         "pack_sequences": q_pack_sequences,
         "budget_sample_sources": q_budget_sample_sources,
         "token_counts_top50": q_token_counts_top50,
@@ -1876,6 +1892,46 @@ def oracle_sql() -> dict[str, str]:
             " SELECT p.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,"
             " p.dup_tokens, p.n_spans"
             " FROM per p JOIN docs d USING (doc_id) ORDER BY p.doc_id"),
+        # the CUT: every non-canonical duplicated-window occurrence's
+        # positions are removed and the kept tokens re-joined; the
+        # engine's span-array rebuild must reproduce this text exactly
+        "scrub_duplicated_spans": (
+            "WITH docs AS (SELECT doc_id,"
+            "   string_split(coalesce(text, ''), ' ') AS toks"
+            "   FROM documents),"
+            " wins AS (SELECT doc_id, i AS pos,"
+            "   array_to_string(toks[i:i+4], ' ') AS gram"
+            "   FROM docs, unnest(range(1, len(toks) - 3)) AS t(i)"
+            "   WHERE len(toks) >= 5),"
+            " dup AS (SELECT gram FROM wins GROUP BY gram"
+            "   HAVING COUNT(*) >= 2),"
+            " hits AS (SELECT doc_id, pos,"
+            "   row_number() OVER (PARTITION BY gram"
+            "     ORDER BY doc_id, pos) AS rn"
+            "   FROM wins JOIN dup USING (gram)),"
+            " cov AS (SELECT DISTINCT doc_id, pos + d AS tp"
+            "   FROM hits, unnest(range(0, 5)) AS u(d) WHERE rn > 1),"
+            " percov AS (SELECT doc_id, COUNT(*) AS n_cut FROM cov"
+            "   GROUP BY doc_id),"
+            " tok AS (SELECT d.doc_id, i AS tp, toks[i] AS tok"
+            "   FROM docs d JOIN percov USING (doc_id),"
+            "   unnest(range(1, len(toks) + 1)) AS t(i)),"
+            " kept AS (SELECT t.doc_id,"
+            "   coalesce(string_agg(tok, ' ' ORDER BY t.tp)"
+            "     FILTER (WHERE c.tp IS NULL), '') AS text_scrubbed"
+            "   FROM tok t LEFT JOIN cov c"
+            "     ON c.doc_id = t.doc_id AND c.tp = t.tp"
+            "   GROUP BY t.doc_id)"
+            " SELECT d0.doc_id,"
+            " CAST(CASE WHEN d0.text IS NULL OR d0.text = '' THEN 0"
+            "      ELSE len(dd.toks) END AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(p.n_cut, 0) AS BIGINT) AS n_cut,"
+            " CASE WHEN p.doc_id IS NULL THEN coalesce(d0.text, '')"
+            "      ELSE k.text_scrubbed END AS text_scrubbed"
+            " FROM documents d0 JOIN docs dd USING (doc_id)"
+            " LEFT JOIN percov p USING (doc_id)"
+            " LEFT JOIN kept k ON k.doc_id = d0.doc_id"
+            " ORDER BY d0.doc_id"),
         # global prefix sum over doc_id order; CAST the windowed SUM —
         # DuckDB widens it to HUGEINT, which breaks the typed hash
         "pack_sequences": (

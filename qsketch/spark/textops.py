@@ -470,6 +470,93 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
                     F.col("__f.spans").alias("n_spans")))
 
 
+def scrub_duplicated_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 5,
+                           min_count: int = 2,
+                           keep_first: bool = True) -> DataFrame:
+    """The CUT that follows :func:`duplicated_span_stats`'s measurement
+    (Lee et al. 2022 ExactSubstr removal): rebuild every doc's text
+    with the tokens inside duplicated windows removed.  With
+    ``keep_first=True`` (default) each duplicated gram's CANONICAL
+    occurrence — the lexicographically smallest (doc id, position) —
+    is exempt from cutting, so one copy of every duplicated passage
+    survives somewhere in the corpus, deterministically and
+    engine-independently; ``keep_first=False`` is the conservative
+    cut-everywhere variant.  Returns one row per input doc:
+
+        (id_col, n_tokens, n_cut, text_scrubbed)
+
+    where ``text_scrubbed`` is the kept tokens re-joined with single
+    spaces (split/join is lossless on the tokenizer's space-delimited
+    contract) — "" for a fully duplicated doc.
+
+    100-TB shape: the same two corpus passes as the stats op plus, for
+    ``keep_first``, one groupBy(gram).min(struct(id, pos)) whose join
+    back is on the already-shuffled gram key.  Cut positions never
+    explode: per doc the non-exempt window starts fold into a merged
+    SPAN ARRAY (one Catalyst ``aggregate``), and the rebuild is a
+    row-local ``filter`` over the token array testing each position
+    against that doc's spans (O(n_tokens × n_spans), no UDF, no
+    shuffle).  Docs with nothing to cut pass their original text
+    through untouched."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    grams = _word_shingles_expr(text_col, window)
+    wins = (df.select(F.col(id_col), grams.alias("__g"))
+              .where(F.size("__g") > 0)
+              .select(id_col, F.posexplode("__g").alias("__p0", "gram"))
+              .select(id_col, (F.col("__p0") + 1).cast("long")
+                      .alias("__start"), "gram"))
+    dup = (wins.groupBy("gram").agg(F.count("*").alias("__n"))
+           .where(F.col("__n") >= min_count).select("gram"))
+    hits = wins.join(dup, "gram")
+    if keep_first:
+        canon = hits.groupBy("gram").agg(
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("__start").alias("s"))).alias("__c"))
+        hits = (hits.join(canon, "gram")
+                .where(~((F.col(id_col) == F.col("__c.i"))
+                         & (F.col("__start") == F.col("__c.s")))))
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<s: bigint, e: bigint>>)")
+    acc0 = F.struct(F.lit(-1).cast("long").alias("end"),
+                    empty_spans.alias("arr"))
+
+    def _merge(acc, s):
+        e = s + F.lit(window - 1)
+        new_end = F.greatest(acc["end"], e)
+        grown_last = F.struct(
+            F.element_at(acc["arr"], -1)["s"].alias("s"),
+            new_end.alias("e"))
+        return F.struct(
+            new_end.alias("end"),
+            F.when(s > acc["end"] + 1,
+                   F.concat(acc["arr"],
+                            F.array(F.struct(s.alias("s"), e.alias("e")))))
+             .otherwise(F.concat(
+                 F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+                 F.array(grown_last))).alias("arr"))
+
+    spans = (hits.groupBy(id_col)
+             .agg(F.aggregate(F.sort_array(F.collect_list("__start")),
+                              acc0, _merge)["arr"].alias("__spans")))
+    toks = _shingle_toks_expr(text_col)
+    sp = F.col("__spans")
+    kept = F.concat_ws(" ", F.filter(
+        toks, lambda t, i: ~F.exists(
+            sp, lambda r: ((i + 1) >= r["s"]) & ((i + 1) <= r["e"]))))
+    n_cut = F.aggregate(sp, F.lit(0).cast("long"),
+                        lambda a, r: a + r["e"] - r["s"] + 1)
+    return (df.join(spans, id_col, "left")
+            .select(F.col(id_col),
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.when(sp.isNull(), F.lit(0).cast("long"))
+                     .otherwise(n_cut).alias("n_cut"),
+                    F.when(sp.isNull(),
+                           F.coalesce(F.col(text_col), F.lit("")))
+                     .otherwise(kept).alias("text_scrubbed")))
+
+
 # ---------------- shingles & MinHash ---------------------------------------
 
 

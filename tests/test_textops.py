@@ -933,6 +933,89 @@ def test_duplicated_span_stats_matches_bruteforce(spark):
     assert got == expect and len(expect) > 10
 
 
+def test_scrub_duplicated_spans_exact(spark):
+    """Hand-computed ExactSubstr CUT at window=3: the canonical
+    (lexicographically first (doc_id, pos)) occurrence of every
+    duplicated gram survives with keep_first=True, so doc 0 — which
+    holds the first occurrence of every shared run — is untouched and
+    doc 1 loses the repeat; within-doc repeats keep the earlier copy;
+    unique / too-short / empty docs pass through with n_cut=0."""
+    from qsketch.spark.textops import scrub_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e x y z"),      # canonical copy of a..e -> kept
+         (1, "q a b c d e r"),        # repeat of a..e -> cut 2..6
+         (2, "m n o p m n o"),        # within-doc repeat: pos 5 cut
+         (4, "zz yy xx ww"),          # all unique -> untouched
+         (5, "s t"),                  # shorter than window
+         (6, "")],                    # empty doc
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_cut"], r["text_scrubbed"])
+           for r in scrub_duplicated_spans(docs, window=3).collect()}
+    assert got == {0: (8, 0, "a b c d e x y z"),
+                   1: (7, 5, "q r"),
+                   2: (7, 3, "m n o p"),
+                   4: (4, 0, "zz yy xx ww"),
+                   5: (2, 0, "s t"),
+                   6: (0, 0, "")}
+    # keep_first=False cuts EVERY occurrence: doc 0 loses a..e too,
+    # doc 2 loses both m n o copies (coverage [1,3]+[5,7], keeps "p")
+    got_all = {r["doc_id"]: (r["n_cut"], r["text_scrubbed"])
+               for r in scrub_duplicated_spans(
+                   docs, window=3, keep_first=False).collect()}
+    assert got_all[0] == (5, "x y z")
+    assert got_all[1] == (5, "q r")
+    assert got_all[2] == (6, "p")
+    with pytest.raises(ValueError):
+        scrub_duplicated_spans(docs, window=1)
+
+
+def test_scrub_duplicated_spans_matches_bruteforce(spark):
+    """Randomized parity vs a driver-side brute force for BOTH
+    keep_first modes (tiny vocab -> frequent window collisions), plus
+    the cross-op invariant: keep_first=False n_cut equals
+    duplicated_span_stats' dup_tokens on the same corpus."""
+    from qsketch.spark.textops import (duplicated_span_stats,
+                                       scrub_duplicated_spans)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(5)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 18)))
+             for _ in range(50)]
+    W = 3
+    occs: dict[tuple, list] = {}
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - W + 1):
+            occs.setdefault(tuple(toks[i:i + W]), []).append((d, i))
+    for keep_first in (True, False):
+        expect = {}
+        for d, t in enumerate(texts):
+            toks = t.split(" ")
+            cov = set()
+            for i in range(len(toks) - W + 1):
+                locs = occs[tuple(toks[i:i + W])]
+                if len(locs) < 2:
+                    continue
+                if keep_first and (d, i) == min(locs):
+                    continue
+                cov.update(range(i, i + W))
+            kept = " ".join(tok for p, tok in enumerate(toks)
+                            if p not in cov)
+            expect[d] = (len(toks), len(cov), kept)
+        docs = spark.createDataFrame(list(enumerate(texts)),
+                                     "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_cut"], r["text_scrubbed"])
+               for r in scrub_duplicated_spans(
+                   docs, window=W, keep_first=keep_first).collect()}
+        assert got == expect
+        if not keep_first:
+            stats = {r["doc_id"]: r["dup_tokens"] for r in
+                     duplicated_span_stats(docs, window=W).collect()}
+            assert all(stats.get(d, 0) == n_cut
+                       for d, (_, n_cut, _) in expect.items())
+
+
 def test_pack_sequences_spans_exact(spark):
     """Known stream: docs of 3/4/2 tokens, chunk=4 -> concatenated
     stream positions [0,3) [3,7) [7,9); chunk 0 = doc1 + 1 token of
