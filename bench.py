@@ -307,7 +307,7 @@ def main() -> None:
                  "near_duplicates", "simhash_near_duplicates",
                  "simhash_near_duplicates_idf", "near_duplicate_rescue",
                  "contamination_check", "repeated_ngrams",
-                 "duplicated_spans",
+                 "duplicated_spans", "scrub_duplicated_spans",
                  "pack_sequences", "budget_sample_sources",
                  "cosine_topk", "source_token_overlap",
                  "kmv_saturated_overlap", "embedding_near_duplicates_lsh",
