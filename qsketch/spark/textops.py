@@ -181,6 +181,67 @@ def _word_shingles_expr(text_col: str, n: int):
             .otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+def _window_gram_hashes(df: DataFrame, text_col: str, id_col: str,
+                        n: int) -> DataFrame:
+    """(id_col, __nwin, __start, __gh): one row per word n-gram window,
+
+    where ``__gh`` is the window's 64-bit rolling-FNV fingerprint,
+    ``__start`` its 1-based token position and ``__nwin`` the doc's
+    window count (n_tokens = __nwin + n - 1).  One vectorized Arrow
+    pass per partition: the flat token stream hashes once
+    (packed-buffer FNV, :func:`_hash_str_arrow`), windows combine via
+    :func:`_rolling_shingle_hash`, doc boundaries are masked exactly
+    like minhash_signatures — the gram STRING is never built, so
+    every downstream exchange / aggregation / join carries an 8-byte
+    key instead of an ~n-token string.
+
+    Why not a Catalyst ``transform(sequence, i -> hash(slice(w,i,n)))``
+    expression: higher-order-function lambdas are interpreted and
+    re-evaluate non-lambda subtrees (the whole ``split``) PER ELEMENT
+    — measured quadratic-per-doc, ~7 µs/window at sf0.1 — and
+    CollapseProject re-inlines any attempt to materialize the token
+    array in a separate projection (guide §4.2: hand the batch to
+    vectorized native code instead).
+
+    The word-hash-tuple -> gram-string map is bijective (tokens cannot
+    contain the split delimiter), so fingerprint equality ==
+    gram-string equality up to 64-bit collisions: P <= D^2/2^65 for D
+    distinct grams — negligible at any oracle-checked scale; at 100 TB
+    (D ~ 1e13) swap in a 128-bit fingerprint (two seeded passes) at
+    the cost of a 16-byte key."""
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col)
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            wh = _hash_str_arrow(toks.flatten())
+            n_flat = max(len(wh) - n + 1, 0)
+            counts = np.maximum(lens - n + 1, 0)
+            if n_flat <= 0 or counts.sum() <= 0:
+                continue
+            key = _rolling_shingle_hash(wh, n)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            valid = doc_of[:n_flat] == doc_of[n - 1:]
+            gh = key[valid].view(np.int64)
+            docs = doc_of[:n_flat][valid]
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            starts = np.flatnonzero(valid) - doc_starts[docs] + 1
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(docs)),
+                 pa.array(counts[docs], type=pa.int32()),
+                 pa.array(starts, type=pa.int64()),
+                 pa.array(gh)],
+                names=[id_col, "__nwin", "__start", "__gh"])
+
+    toks_expr = _shingle_toks_expr(text_col)
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, toks_expr.alias("__toks")).mapInArrow(
+        fn, f"{id_col} {id_t}, __nwin int, __start long, __gh long")
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3) -> DataFrame:
@@ -422,30 +483,28 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
     span merge never explodes coverage positions: per doc the matched
     window STARTS collect locally (bounded by the doc's own length),
     sort, and fold through one Catalyst ``aggregate`` lambda — a
-    linear interval merge inside whole-stage codegen, no UDF.  At real
-    scale, hash the gram to a fingerprint before the groupBy
-    (qsketch.hash.fnv1a64) so the shuffle carries 8-byte keys instead
-    of ~50-token strings; kept as strings here for oracle
-    bit-parity."""
+    linear interval merge inside whole-stage codegen, no UDF.  Grams
+    are FINGERPRINTED at generation (see :func:`_window_gram_hashes`):
+    the count shuffle, the surviving-gram broadcast/join, and the
+    window rows all carry 8-byte longs instead of ~window-token
+    strings, and the gram string is never built at all — the output is
+    key-encoding-independent, so the driver oracle proves the
+    refactor."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    grams = _word_shingles_expr(text_col, window)
 
     def windows():
-        return (df.select(F.col(id_col), grams.alias("__g"))
-                  .where(F.size("__g") > 0)
-                  .select(id_col, F.size("__g").alias("__nwin"),
-                          F.posexplode("__g").alias("__p0", "gram")))
+        return _window_gram_hashes(df, text_col, id_col, window)
 
-    dup = (windows().groupBy("gram").agg(F.count("*").alias("__n"))
-           .where(F.col("__n") >= min_count).select("gram"))
-    hits = (windows().join(dup, "gram")
+    dup = (windows().groupBy("__gh").agg(F.count("*").alias("__n"))
+           .where(F.col("__n") >= min_count).select("__gh"))
+    hits = (windows().join(dup, "__gh")
             .select(id_col,
                     # n_tokens = n_windows + window - 1 (re-derived from
-                    # the gram count so the explode carries one int, not
+                    # the window count so the rows carry one int, not
                     # the token array)
                     (F.col("__nwin") + F.lit(window - 1)).alias("__ntok"),
-                    (F.col("__p0") + 1).cast("long").alias("__start")))
+                    F.col("__start")))
     acc0 = F.struct(F.lit(-1).cast("long").alias("end"),
                     F.lit(0).cast("long").alias("cov"),
                     F.lit(0).cast("long").alias("spans"))
@@ -479,10 +538,13 @@ def scrub_duplicated_spans(df: DataFrame, text_col: str = "text",
     with the tokens inside duplicated windows removed.  With
     ``keep_first=True`` (default) each duplicated gram's CANONICAL
     occurrence — the lexicographically smallest (doc id, position) —
-    is exempt from cutting, so one copy of every duplicated passage
-    survives somewhere in the corpus, deterministically and
-    engine-independently; ``keep_first=False`` is the conservative
-    cut-everywhere variant.  Returns one row per input doc:
+    is exempt from its OWN gram's cut, deterministically and
+    engine-independently (overlapping cuts from OTHER duplicated
+    grams may still remove some of a canonical occurrence's tokens,
+    matching ExactSubstr's actual behavior — there is no guarantee an
+    intact copy of every duplicated passage survives);
+    ``keep_first=False`` is the conservative cut-everywhere variant.
+    Returns one row per input doc:
 
         (id_col, n_tokens, n_cut, text_scrubbed)
 
@@ -490,33 +552,40 @@ def scrub_duplicated_spans(df: DataFrame, text_col: str = "text",
     spaces (split/join is lossless on the tokenizer's space-delimited
     contract) — "" for a fully duplicated doc.
 
-    100-TB shape: the same two corpus passes as the stats op plus, for
-    ``keep_first``, one groupBy(gram).min(struct(id, pos)) whose join
-    back is on the already-shuffled gram key.  Cut positions never
-    explode: per doc the non-exempt window starts fold into a merged
-    SPAN ARRAY (one Catalyst ``aggregate``), and the rebuild is a
-    row-local ``filter`` over the token array testing each position
+    100-TB shape: the same two corpus passes as the stats op.  Grams
+    are FINGERPRINTED at generation (see :func:`_window_gram_hashes`),
+    so every exchange carries 8-byte keys, and for ``keep_first`` the
+    duplicate filter and the canonical occurrence come out of ONE
+    aggregation (count + min(struct(id, pos)) share the
+    groupBy(fingerprint) shuffle) instead of two aggregations + two
+    joins.  Cut positions
+    never explode: per doc the non-exempt window starts fold into a
+    merged SPAN ARRAY (one Catalyst ``aggregate``), and the rebuild is
+    a row-local ``filter`` over the token array testing each position
     against that doc's spans (O(n_tokens × n_spans), no UDF, no
     shuffle).  Docs with nothing to cut pass their original text
     through untouched."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    grams = _word_shingles_expr(text_col, window)
-    wins = (df.select(F.col(id_col), grams.alias("__g"))
-              .where(F.size("__g") > 0)
-              .select(id_col, F.posexplode("__g").alias("__p0", "gram"))
-              .select(id_col, (F.col("__p0") + 1).cast("long")
-                      .alias("__start"), "gram"))
-    dup = (wins.groupBy("gram").agg(F.count("*").alias("__n"))
-           .where(F.col("__n") >= min_count).select("gram"))
-    hits = wins.join(dup, "gram")
+    wins = _window_gram_hashes(df, text_col, id_col,
+                               window).drop("__nwin")
     if keep_first:
-        canon = hits.groupBy("gram").agg(
-            F.min(F.struct(F.col(id_col).alias("i"),
-                           F.col("__start").alias("s"))).alias("__c"))
-        hits = (hits.join(canon, "gram")
+        # one shuffle yields BOTH the >= min_count filter and the
+        # canonical (min id, min pos) occurrence per surviving gram
+        canon = (wins.groupBy("__gh")
+                 .agg(F.count("*").alias("__n"),
+                      F.min(F.struct(F.col(id_col).alias("i"),
+                                     F.col("__start").alias("s")))
+                       .alias("__c"))
+                 .where(F.col("__n") >= min_count)
+                 .select("__gh", "__c"))
+        hits = (wins.join(canon, "__gh")
                 .where(~((F.col(id_col) == F.col("__c.i"))
                          & (F.col("__start") == F.col("__c.s")))))
+    else:
+        dup = (wins.groupBy("__gh").agg(F.count("*").alias("__n"))
+               .where(F.col("__n") >= min_count).select("__gh"))
+        hits = wins.join(dup, "__gh")
     empty_spans = F.expr(
         "CAST(array() AS array<struct<s: bigint, e: bigint>>)")
     acc0 = F.struct(F.lit(-1).cast("long").alias("end"),
