@@ -72,49 +72,6 @@ def _safe_cosine_expr(dot, n1: str, n2: str):
     return F.when(denom != 0.0, dot / denom)
 
 
-def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
-    """(a, b, cosine) from a joined pair frame carrying (__va, __vb,
-    __na, __nb) — the verify dot products computed VECTORIZED per Arrow
-    batch (numpy einsum) instead of Catalyst higher-order functions,
-    whose zip_with/aggregate lambdas cost one expression eval per
-    vector ELEMENT (measured: ~2 M candidate pairs x 64 dims = 128 M
-    lambda evals dominated the LSH verify).  Needs no broadcast state,
-    so it is exactly as scale-able as the join that feeds it.  The id
-    columns pass through with their incoming types (the API is generic
-    over id_col, so a/b are not necessarily longs).
-
-    Note on float determinism: numpy's einsum may sum in a different
-    order than the exact path's sequential Catalyst fold; both
-    accumulate in float64 from float32 inputs, so any difference is
-    ~1 ulp — callers round to 6 dp before comparison, where a flip
-    would need a dot product within 1e-10 of a rounding boundary."""
-    a_t = pairs.schema["a"].dataType.simpleString()
-    b_t = pairs.schema["b"].dataType.simpleString()
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            va = _batch_matrix(batch.column("__va"))
-            vb = _batch_matrix(batch.column("__vb"))
-            dots = np.einsum("ij,ij->i", va, vb)
-            na = batch.column("__na").to_numpy(zero_copy_only=False)
-            nb = batch.column("__nb").to_numpy(zero_copy_only=False)
-            # zero-norm side -> cosine NULL, matching _safe_cosine_expr
-            # (a bare divide would emit NaN, and NaN PASSES Spark's
-            # `cosine >= t` filter — NaN sorts above all doubles)
-            denom = na * nb
-            ok = denom != 0.0
-            vals = np.divide(dots, denom, out=np.zeros_like(dots),
-                             where=ok)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("a"), batch.column("b"),
-                 pa.array(vals, type=pa.float64(), mask=~ok)],
-                names=["a", "b", "cosine"])
-
-    return pairs.mapInArrow(fn, f"a {a_t}, b {b_t}, cosine double")
-
-
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            query_id_col: str = "query_id") -> DataFrame:
@@ -182,12 +139,18 @@ def _rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
 
 def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 0xA11CE, n_tables: int = 4) -> DataFrame:
+                    seed: int = 0xA11CE, n_tables: int = 4,
+                    include_vec: bool = False) -> DataFrame:
     """Sign-random-projection LSH keys: ``n_tables`` independent
 
     ``n_bits``-bit bucket ids per vector (vectorized per Arrow batch).
     Deterministic projections derived from splitmix64(seed) — every
-    executor regenerates the same planes, nothing is shipped."""
+    executor regenerates the same planes, nothing is shipped.
+
+    ``include_vec=True`` additionally carries the embedding on every
+    key row (one copy per table) — the input to the bucket-local
+    verify (:func:`_lsh_pairs_bucketed`), which needs each bucket's
+    vectors co-located."""
     def planes(table: int) -> np.ndarray:
         raw = splitmix64(
             np.arange(dim * n_bits, dtype=np.uint64)
@@ -200,6 +163,7 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
     # id column passes through with its incoming type — the API is
     # generic over id_col (string ids are common for document keys)
     id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bit_w = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
@@ -207,21 +171,136 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
             if batch.num_rows == 0:
                 continue
             ids = batch.column(id_col)
-            vecs = _batch_matrix(batch.column(vec_col))
+            vcol = batch.column(vec_col)
+            vecs = _batch_matrix(vcol)
             out_tab, out_key = [], []
             for t, m in enumerate(mats):
                 signs = (vecs @ m.T) > 0
                 keys = (signs.astype(np.uint64) * bit_w).sum(axis=1)
                 out_tab.append(np.full(len(keys), t, dtype=np.int32))
                 out_key.append(keys.view(np.int64))
-            yield pa.RecordBatch.from_arrays(
-                [pa.concat_arrays([ids] * n_tables),
-                 pa.array(np.concatenate(out_tab)),
-                 pa.array(np.concatenate(out_key))],
-                names=[id_col, "table", "bucket"])
+            cols = [pa.concat_arrays([ids] * n_tables),
+                    pa.array(np.concatenate(out_tab)),
+                    pa.array(np.concatenate(out_key))]
+            names = [id_col, "table", "bucket"]
+            if include_vec:
+                cols.append(pa.concat_arrays([vcol] * n_tables))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return df.select(id_col, vec_col).mapInArrow(
-        fn, f"{id_col} {id_t}, table int, bucket long")
+    schema = f"{id_col} {id_t}, table int, bucket long"
+    if include_vec:
+        schema += f", {vec_col} {vec_t}"
+    return df.select(id_col, vec_col).mapInArrow(fn, schema)
+
+
+def _lsh_pairs_bucketed(keyed: DataFrame, threshold: float,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """(a, b, cosine) with a < b and cosine >= threshold, scored PER
+
+    (table, bucket) group — the exact same candidate set as the bucket
+    self-join + distinct + vector-attach joins + pair-level verify it
+    replaces (a pair is emitted iff it shares >= 1 bucket and passes
+    the threshold), but the quadratic intermediates never materialize:
+
+      * no candidate-pair exchange: the only wide op is ONE hash
+        exchange of the (id, table, bucket, vector) key rows —
+        n_tables x corpus bytes, linear in the corpus;
+      * no pair-level Python boundary: the old verify shipped both
+        vectors per candidate pair (~0.5 KB x |candidates|, quadratic);
+        this ships each bucket's vectors once and scores all i<j pairs
+        in-batch with the same float64 einsum;
+      * dedup shrinks from |candidates| to |qualifying pairs|: only
+        above-threshold pairs leave Python, and the final
+        groupBy(a, b) collapses the per-table repeats.
+
+    Groups are streamed from sortWithinPartitions(table, bucket) order
+    with a carry across Arrow batch boundaries, so a bucket split over
+    two batches still scores its cross-batch pairs.  Zero-norm sides
+    reproduce the _safe_cosine_expr semantics (denominator underflow
+    -> pair dropped, never a NaN passing the threshold)."""
+    part = (keyed.repartition("table", "bucket")
+                 .sortWithinPartitions("table", "bucket"))
+    id_t = keyed.schema[id_col].dataType.simpleString()
+
+    def pairs_of(ids: np.ndarray, X: np.ndarray):
+        g = len(ids)
+        if g < 2:
+            return None
+        norms = np.maximum(np.sqrt(np.einsum("ij,ij->i", X, X)), 1e-300)
+        ii, jj = np.triu_indices(g, k=1)
+        out_a, out_b, out_c = [], [], []
+        CH = 1 << 20  # bound the (pairs x dim) gather scratch
+        for s in range(0, len(ii), CH):
+            i, j = ii[s:s + CH], jj[s:s + CH]
+            dots = np.einsum("ij,ij->i", X[i], X[j])
+            denom = norms[i] * norms[j]
+            ok = denom != 0.0
+            cos = np.divide(dots, denom,
+                            out=np.full_like(dots, -np.inf), where=ok)
+            keep = cos >= threshold
+            if keep.any():
+                ia, jb = ids[i[keep]], ids[j[keep]]
+                out_a.append(np.minimum(ia, jb))
+                out_b.append(np.maximum(ia, jb))
+                out_c.append(cos[keep])
+        if not out_a:
+            return None
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_c))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pend = None  # (key, ids, X) of the partition's trailing group
+
+        def emit(res):
+            a, b, c = res
+            return pa.RecordBatch.from_arrays(
+                [pa.array(a), pa.array(b),
+                 pa.array(c, type=pa.float64())],
+                names=["a", "b", "cosine"])
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tab = batch.column("table").to_numpy(zero_copy_only=False)
+            buck = batch.column("bucket").to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            X = _batch_matrix(batch.column(vec_col))
+            change = np.flatnonzero((tab[1:] != tab[:-1])
+                                    | (buck[1:] != buck[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(tab)]))
+            outs = []
+            for k in range(len(bounds) - 1):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                gids, gX = ids[s:e], X[s:e]
+                key = (int(tab[s]), int(buck[s]))
+                if pend is not None and pend[0] == key:
+                    gids = np.concatenate([pend[1], gids])
+                    gX = np.vstack([pend[2], gX])
+                    pend = None
+                if e == len(tab):
+                    # the batch's last group may continue in the next
+                    # batch of this partition — defer it
+                    pend = (key, gids, gX)
+                    break
+                res = pairs_of(gids, gX)
+                if res is not None:
+                    outs.append(res)
+            if outs:
+                yield emit(tuple(np.concatenate(x)
+                                 for x in zip(*outs)))
+        if pend is not None:
+            res = pairs_of(pend[1], pend[2])
+            if res is not None:
+                yield emit(res)
+
+    scored = part.mapInArrow(fn, f"a {id_t}, b {id_t}, cosine double")
+    # a qualifying pair can appear once per shared table: collapse
+    # the repeats with a deterministic max (values differ by at most
+    # ~1 ulp between buckets from float64-einsum summation order —
+    # callers round to 6 dp before comparison, where a flip would
+    # need a cosine within 1e-10 of a rounding boundary)
+    return scored.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
 
 
 def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,
@@ -336,21 +415,15 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         if dim is None:
             first = corpus.select(vec_col).first()
             dim = len(first[0]) if first is not None else 1  # empty corpus
+        # bucket-LOCAL verify (see _lsh_pairs_bucketed): same candidate
+        # semantics as the bucket self-join it replaces, but the only
+        # wide op is one linear key-row exchange — no quadratic
+        # candidate distinct, no per-pair vector shipping (at a LOW
+        # threshold the candidate set approaches all-pairs, which made
+        # both of those the dominant cost of this query)
         keys = srp_bucket_keys(corpus, dim, n_bits, id_col, vec_col,
-                               n_tables=n_tables)
-        kl, kr = keys.alias("kl"), keys.alias("kr")
-        cand = (kl.join(kr, ["table", "bucket"])
-                  .where(F.col(f"kl.{id_col}") < F.col(f"kr.{id_col}"))
-                  .select(F.col(f"kl.{id_col}").alias("a"),
-                          F.col(f"kr.{id_col}").alias("b"))
-                  .distinct())
-        pairs = cand.join(a, "a").join(b, "b")
-        # vectorized Arrow verify: at a LOW threshold the candidate set
-        # approaches all-pairs (see q_embedding_near_duplicates_lsh
-        # docstring), and the higher-order-function dot product was the
-        # dominant cost of this query (one lambda eval per element)
-        return (_cosine_pairs_arrow(pairs)
-                .where(F.col("cosine") >= threshold))
+                               n_tables=n_tables, include_vec=True)
+        return _lsh_pairs_bucketed(keys, threshold, id_col, vec_col)
     else:
         raise ValueError(f"unknown method {method!r}")
     return (pairs.select(
