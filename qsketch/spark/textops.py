@@ -255,19 +255,23 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     n_matched / n_shingles over the doc's DISTINCT shingles.
 
     100-TB shape: the benchmark side is tiny by definition, so its
-    distinct shingle set BROADCASTS (a few MB of strings for any real
+    distinct shingle set BROADCASTS (8 bytes per shingle for any real
     eval suite) and the corpus side is ONE scan whose exploded
     shingles meet the broadcast in a hash join — the only corpus
     shuffle is the per-doc count aggregation, which is map-side
-    combinable and carries matched docs only.  Per-doc shingle dedup
-    is row-local (array_distinct), never a shuffle."""
-    sh = F.array_distinct(_word_shingles_expr(text_col, shingle_n))
-    cor = (corpus.select(F.col(id_col), sh.alias("__sh"))
-                 .withColumn("n_shingles", F.size("__sh"))
-                 .select(id_col, "n_shingles",
-                         F.explode("__sh").alias("shingle")))
-    bench = (benchmark.select(F.explode(sh).alias("shingle")).distinct())
-    return (cor.join(F.broadcast(bench), "shingle")
+    combinable and carries matched docs only.  Both sides run through
+    :func:`shingle_hash_sets` (one vectorized rolling-FNV pass per
+    partition; per-doc dedup happens in-batch, never a shuffle), so
+    shingle STRINGS are never built and every join/broadcast key is an
+    8-byte fingerprint — overlap equality matches string equality up
+    to 64-bit collisions (P <= D^2/2^65, negligible; the driver
+    oracle checks the output exactly)."""
+    cor = (shingle_hash_sets(corpus, text_col, id_col, shingle_n)
+           .select(id_col, F.col("n").alias("n_shingles"),
+                   F.explode("shs").alias("__sh")))
+    bench = (shingle_hash_sets(benchmark, text_col, id_col, shingle_n)
+             .select(F.explode("shs").alias("__sh")).distinct())
+    return (cor.join(F.broadcast(bench), "__sh")
                .groupBy(id_col, "n_shingles")
                .agg(F.count("*").alias("n_matched"))
                .withColumn("contamination",
