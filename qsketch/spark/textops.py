@@ -165,22 +165,6 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 # ---------------- decontamination & boilerplate -----------------------------
 
 
-def _word_shingles_expr(text_col: str, n: int):
-    """Catalyst word-n-gram STRINGS (concat_ws over array slices): staying
-
-    in string space (not FNV hashes) keeps the result bit-comparable to
-    a plain-SQL oracle and the whole pipeline inside whole-stage
-    codegen.  Guarded for docs shorter than n because
-    ``F.sequence(1, k)`` DESCENDS when k < 1 instead of returning
-    empty (the CASE branch is evaluated lazily, so the clamped
-    sequence in the dead branch costs nothing)."""
-    w = _shingle_toks_expr(text_col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - n + 1, F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    return F.when(F.size(w) >= n, grams) \
-            .otherwise(F.expr("CAST(array() AS array<string>)"))
-
-
 def _window_gram_hashes(df: DataFrame, text_col: str, id_col: str,
                         n: int) -> DataFrame:
     """(id_col, __nwin, __start, __gh): one row per word n-gram window,
@@ -435,6 +419,53 @@ def epoch_shuffle(df: DataFrame, epoch: int = 0,
     return out
 
 
+def _doc_distinct_gram_strings(df: DataFrame, text_col: str,
+                               n: int) -> DataFrame:
+    """("shingle") — one row per (doc, distinct word n-gram), the gram
+    as its STRING (for ops whose output carries the gram text).  One
+    vectorized Arrow pass: the gram strings are built in C by
+    pc.binary_join_element_wise over n shifted slices of the flat
+    token array (zero byte copying in Python), and the per-doc dedup
+    keeps the first occurrence of each rolling-FNV fingerprint — no
+    interpreted Catalyst lambda re-evaluating split() per window (see
+    :func:`_window_gram_hashes`), no array_distinct over built-up gram
+    arrays.  Dedup-by-fingerprint equals dedup-by-string up to 64-bit
+    collisions WITHIN one doc — P ~ (doc windows)^2/2^65, negligible."""
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            toks = batch.column("__toks")
+            n_docs = len(toks)
+            lens = _list_lens(toks)
+            flat = toks.flatten()
+            total = len(flat)
+            m = total - n + 1
+            if m <= 0 or (lens >= n).sum() == 0:
+                continue
+            wh = _hash_str_arrow(flat)
+            key = _rolling_shingle_hash(wh, n)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            valid = doc_of[:m] == doc_of[n - 1:]
+            widx = np.flatnonzero(valid)          # global window starts
+            gh = key[valid]
+            docs = doc_of[:m][valid]
+            # first occurrence of each (doc, fingerprint)
+            order = np.lexsort((gh, docs))
+            gs, ds = gh[order], docs[order]
+            keep = np.ones(len(gs), dtype=bool)
+            keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+            kept = widx[order[keep]]
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(r, m) for r in range(n)], " ")
+            yield pa.RecordBatch.from_arrays(
+                [grams.take(pa.array(kept))], names=["shingle"])
+
+    toks_expr = _shingle_toks_expr(text_col)
+    return df.select(toks_expr.alias("__toks")).mapInArrow(
+        fn, "shingle string")
+
+
 def repeated_ngrams(df: DataFrame, text_col: str = "text",
                     shingle_n: int = 3, min_docs: int = 2,
                     top: int = 100) -> DataFrame:
@@ -442,14 +473,15 @@ def repeated_ngrams(df: DataFrame, text_col: str = "text",
 
     DISTINCT docs, top-`top` by doc count (ties broken by shingle text
     so the limit is deterministic).  One shuffle: per-doc dedup is
-    row-local (array_distinct), so a plain groupBy count IS the
-    distinct-doc count and Catalyst partial aggregation collapses the
-    hot head map-side.  At 100 TB exact top-N over a skewed n-gram
-    head is exactly the heavy-hitters shape — queries.heavy_hitters
-    (CMS + per-partition candidates) is the sketch alternative when
-    the n-gram vocabulary outgrows a shuffle."""
-    sh = F.array_distinct(_word_shingles_expr(text_col, shingle_n))
-    return (df.select(F.explode(sh).alias("shingle"))
+    batch-local (:func:`_doc_distinct_gram_strings` — vectorized Arrow
+    gram construction, no interpreted per-window lambda), so a plain
+    groupBy count IS the distinct-doc count and Catalyst partial
+    aggregation collapses the hot head map-side.  At 100 TB exact
+    top-N over a skewed n-gram head is exactly the heavy-hitters
+    shape — queries.heavy_hitters (CMS + per-partition candidates) is
+    the sketch alternative when the n-gram vocabulary outgrows a
+    shuffle."""
+    return (_doc_distinct_gram_strings(df, text_col, shingle_n)
               .groupBy("shingle")
               .agg(F.count("*").alias("n_docs"))
               .where(F.col("n_docs") >= min_docs)
@@ -1642,12 +1674,21 @@ def token_frequency_histogram(df: DataFrame, text_col: str = "text",
     Scale shape: one map-side-combinable (token, count) aggregation —
     the same shuffle `repeated_ngrams` pays — then a ≤64-key second
     aggregation that collapses map-side to nothing."""
-    grams = (F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-             if shingle_n == 1 else
-             _word_shingles_expr(text_col, shingle_n))
-    toks = (df.select(F.explode(grams).alias("token"))
-              .where(F.col("token") != ""))
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    if shingle_n == 1:
+        toks = (df.select(F.explode(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+                    .alias("token"))
+                  .where(F.col("token") != ""))
+        counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    else:
+        # no string in the output: count by 8-byte gram fingerprint
+        # (one vectorized Arrow pass — see _window_gram_hashes; an
+        # n>1 gram contains a separator so the != '' filter is a
+        # no-op there)
+        wins = _window_gram_hashes(
+            df.select(F.monotonically_increasing_id().alias("__rid"),
+                      text_col), text_col, "__rid", shingle_n)
+        counts = wins.groupBy("__gh").agg(F.count("*").alias("c"))
     return (counts.groupBy(F.floor(F.log2("c")).cast("long").alias("bucket"))
                   .agg(F.count("*").alias("n_tokens"),
                        F.sum("c").alias("occurrences"))
@@ -1726,12 +1767,18 @@ def vocabulary_growth(df: DataFrame, n_buckets: int = 10,
     n_docs = ordered._qsketch_total_rows
     if n_docs == 0:
         raise ValueError("vocabulary_growth needs a non-empty corpus")
-    grams = (F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-             if shingle_n == 1 else
-             _word_shingles_expr(text_col, shingle_n))
-    toks = (ordered.select("pos", F.explode(grams).alias("token"))
-                   .where(F.col("token") != ""))
-    first = toks.groupBy("token").agg(F.min("pos").alias("first_pos"))
+    if shingle_n == 1:
+        toks = (ordered.select("pos", F.explode(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+                    .alias("token"))
+                       .where(F.col("token") != ""))
+        first = toks.groupBy("token").agg(F.min("pos").alias("first_pos"))
+    else:
+        # no gram string in the output: min-pos by 8-byte fingerprint
+        # (one vectorized Arrow pass — see _window_gram_hashes)
+        wins = _window_gram_hashes(ordered.select("pos", text_col),
+                                   text_col, "pos", shingle_n)
+        first = wins.groupBy("__gh").agg(F.min("pos").alias("first_pos"))
     per_bucket = (first.groupBy(
                       F.expr(f"first_pos * {int(n_buckets)} div {n_docs}")
                        .alias("bucket"))
