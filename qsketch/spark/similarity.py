@@ -97,7 +97,13 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def _topk(scored: DataFrame, k: int, query_id_col: str,
           id_col: str) -> DataFrame:
-    """row_number window top-k per query, deterministic tie-break on id."""
+    """row_number window top-k per query, deterministic tie-break on id.
+
+    NULL-cosine rows (zero-norm corpus row against a zero-norm query —
+    see _safe_cosine_expr) still receive ranks: desc ordering puts
+    NULLs last, so they surface in the output only when k exceeds the
+    number of defined scores.  Callers that must never return an
+    unscored neighbor should filter cosine IS NOT NULL before calling."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),

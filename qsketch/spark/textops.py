@@ -1763,8 +1763,12 @@ def vocabulary_growth(df: DataFrame, n_buckets: int = 10,
     ordered = epoch_shuffle(df.select(id_col, text_col), epoch=epoch,
                             id_col=id_col, seed=seed)
     # epoch_shuffle's prefix-sum pass already counted every partition —
-    # reuse its total instead of a dedicated full corpus scan
-    n_docs = ordered._qsketch_total_rows
+    # reuse its total instead of a dedicated full corpus scan.  The
+    # attribute is an informal contract (any intervening transformation
+    # would drop it), so fall back to a count() when absent.
+    n_docs = getattr(ordered, "_qsketch_total_rows", None)
+    if n_docs is None:
+        n_docs = ordered.count()
     if n_docs == 0:
         raise ValueError("vocabulary_growth needs a non-empty corpus")
     if shingle_n == 1:
