@@ -200,41 +200,51 @@ def srp_bucket_keys(df: DataFrame, dim: int, n_bits: int = 16,
     return df.select(id_col, vec_col).mapInArrow(fn, schema)
 
 
-def _lsh_pairs_bucketed(keyed: DataFrame, threshold: float,
-                        id_col: str, vec_col: str) -> DataFrame:
+def _grouped_pair_scores(keyed: DataFrame, key_cols: tuple[str, str],
+                         threshold: float, id_col: str, vec_col: str,
+                         block_col: str | None = None,
+                         dedup: bool = True) -> DataFrame:
     """(a, b, cosine) with a < b and cosine >= threshold, scored PER
 
-    (table, bucket) group — the exact same candidate set as the bucket
-    self-join + distinct + vector-attach joins + pair-level verify it
-    replaces (a pair is emitted iff it shares >= 1 bucket and passes
-    the threshold), but the quadratic intermediates never materialize:
+    ``key_cols`` group without ever materializing a pair-level frame:
 
       * no candidate-pair exchange: the only wide op is ONE hash
-        exchange of the (id, table, bucket, vector) key rows —
-        n_tables x corpus bytes, linear in the corpus;
-      * no pair-level Python boundary: the old verify shipped both
-        vectors per candidate pair (~0.5 KB x |candidates|, quadratic);
-        this ships each bucket's vectors once and scores all i<j pairs
-        in-batch with the same float64 einsum;
-      * dedup shrinks from |candidates| to |qualifying pairs|: only
-        above-threshold pairs leave Python, and the final
-        groupBy(a, b) collapses the per-table repeats.
+        exchange of the (id, keys, vector) rows — linear in the input;
+      * no pair-level Python boundary: each group's vectors cross once
+        and all i<j pairs score in-batch with a float64 einsum;
+      * only above-threshold pairs leave Python.
 
-    Groups are streamed from sortWithinPartitions(table, bucket) order
-    with a carry across Arrow batch boundaries, so a bucket split over
+    ``block_col`` is the blocked all-pairs mode (each row carries its
+    block id; group key = an (i, j) block pair with i <= j): an
+    off-diagonal group scores only cross-block pairs, the diagonal
+    group scores everything — so every pair is emitted EXACTLY once
+    and ``dedup=False`` skips the final collapse.  Without it (the LSH
+    mode) a pair can appear once per shared bucket and ``dedup=True``
+    collapses the repeats with a deterministic max (values differ by
+    at most ~1 ulp between groups from einsum summation order —
+    callers round to 6 dp before comparison, where a flip would need
+    a cosine within 1e-10 of a rounding boundary).
+
+    Groups are streamed from sortWithinPartitions(*key_cols) order
+    with a carry across Arrow batch boundaries, so a group split over
     two batches still scores its cross-batch pairs.  Zero-norm sides
     reproduce the _safe_cosine_expr semantics (denominator underflow
     -> pair dropped, never a NaN passing the threshold)."""
-    part = (keyed.repartition("table", "bucket")
-                 .sortWithinPartitions("table", "bucket"))
+    k0, k1 = key_cols
+    part = (keyed.repartition(*key_cols)
+                 .sortWithinPartitions(*key_cols))
     id_t = keyed.schema[id_col].dataType.simpleString()
 
-    def pairs_of(ids: np.ndarray, X: np.ndarray):
+    def pairs_of(ids: np.ndarray, X: np.ndarray,
+                 blocks: np.ndarray | None, diagonal: bool):
         g = len(ids)
         if g < 2:
             return None
         norms = np.maximum(np.sqrt(np.einsum("ij,ij->i", X, X)), 1e-300)
         ii, jj = np.triu_indices(g, k=1)
+        if blocks is not None and not diagonal:
+            cross = blocks[ii] != blocks[jj]
+            ii, jj = ii[cross], jj[cross]
         out_a, out_b, out_c = [], [], []
         CH = 1 << 20  # bound the (pairs x dim) gather scratch
         for s in range(0, len(ii), CH):
@@ -256,7 +266,7 @@ def _lsh_pairs_bucketed(keyed: DataFrame, threshold: float,
                 np.concatenate(out_c))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pend = None  # (key, ids, X) of the partition's trailing group
+        pend = None  # (key, ids, X, blocks) of the trailing group
 
         def emit(res):
             a, b, c = res
@@ -265,48 +275,100 @@ def _lsh_pairs_bucketed(keyed: DataFrame, threshold: float,
                  pa.array(c, type=pa.float64())],
                 names=["a", "b", "cosine"])
 
+        def score(key, gids, gX, gblk):
+            return pairs_of(gids, gX, gblk, diagonal=key[0] == key[1])
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            tab = batch.column("table").to_numpy(zero_copy_only=False)
-            buck = batch.column("bucket").to_numpy(zero_copy_only=False)
+            c0 = batch.column(k0).to_numpy(zero_copy_only=False)
+            c1 = batch.column(k1).to_numpy(zero_copy_only=False)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            blk = (batch.column(block_col).to_numpy(zero_copy_only=False)
+                   if block_col else None)
             X = _batch_matrix(batch.column(vec_col))
-            change = np.flatnonzero((tab[1:] != tab[:-1])
-                                    | (buck[1:] != buck[:-1])) + 1
-            bounds = np.concatenate(([0], change, [len(tab)]))
+            change = np.flatnonzero((c0[1:] != c0[:-1])
+                                    | (c1[1:] != c1[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(c0)]))
             outs = []
             for k in range(len(bounds) - 1):
                 s, e = int(bounds[k]), int(bounds[k + 1])
                 gids, gX = ids[s:e], X[s:e]
-                key = (int(tab[s]), int(buck[s]))
+                gblk = blk[s:e] if blk is not None else None
+                key = (int(c0[s]), int(c1[s]))
                 if pend is not None and pend[0] == key:
                     gids = np.concatenate([pend[1], gids])
                     gX = np.vstack([pend[2], gX])
+                    if gblk is not None:
+                        gblk = np.concatenate([pend[3], gblk])
                     pend = None
-                if e == len(tab):
+                if e == len(c0):
                     # the batch's last group may continue in the next
                     # batch of this partition — defer it
-                    pend = (key, gids, gX)
+                    pend = (key, gids, gX, gblk)
                     break
-                res = pairs_of(gids, gX)
+                res = score(key, gids, gX, gblk)
                 if res is not None:
                     outs.append(res)
             if outs:
                 yield emit(tuple(np.concatenate(x)
                                  for x in zip(*outs)))
         if pend is not None:
-            res = pairs_of(pend[1], pend[2])
+            res = score(pend[0], pend[1], pend[2], pend[3])
             if res is not None:
                 yield emit(res)
 
     scored = part.mapInArrow(fn, f"a {id_t}, b {id_t}, cosine double")
-    # a qualifying pair can appear once per shared table: collapse
-    # the repeats with a deterministic max (values differ by at most
-    # ~1 ulp between buckets from float64-einsum summation order —
-    # callers round to 6 dp before comparison, where a flip would
-    # need a cosine within 1e-10 of a rounding boundary)
+    if not dedup:
+        return scored
     return scored.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
+
+
+def _lsh_pairs_bucketed(keyed: DataFrame, threshold: float,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """LSH mode of :func:`_grouped_pair_scores`: same candidate set as
+    the bucket self-join + distinct + vector-attach joins + pair-level
+    verify it replaced (a pair is emitted iff it shares >= 1
+    (table, bucket) and passes the threshold), with the quadratic
+    intermediates never materializing."""
+    return _grouped_pair_scores(keyed, ("table", "bucket"), threshold,
+                                id_col, vec_col)
+
+
+def _allpairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
+                      vec_col: str, n_blocks: int | None = None) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via deterministic block
+    pairs — the distributed replacement for a crossJoin + per-element
+    Catalyst dot product (measured ~11 s at sf0.1: one interpreted
+    lambda eval per vector ELEMENT per pair).
+
+    Each vector gets block b = pmod(xxhash64(id), B) and is routed to
+    every block-pair group (min(b, x), max(b, x)); an off-diagonal
+    group scores only cross-block pairs and the diagonal scores
+    within-block pairs, so every pair is scored exactly once — no
+    cartesian join node, no corpus broadcast/collect, and the shuffle
+    is B x corpus bytes (B ~ sqrt(2 x shuffle partitions), so group
+    count ~ partition count).  Still O(n^2) COMPUTE by definition —
+    that is what "exact" means — but vectorized einsum instead of
+    interpreted expression evaluation."""
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_blocks = max(2, int(np.ceil(np.sqrt(2.0 * parts))))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    groups = F.array(*[
+        F.struct(F.least(F.col("__blk"), F.lit(x)).alias("gi"),
+                 F.greatest(F.col("__blk"), F.lit(x)).alias("gj"))
+        for x in range(n_blocks)])
+    keyed = (corpus.select(id_col, vec_col, blk.alias("__blk"))
+             .select(id_col, vec_col, "__blk",
+                     F.explode(groups).alias("__g"))
+             .select(id_col, vec_col, "__blk",
+                     F.col("__g.gi").alias("__gi"),
+                     F.col("__g.gj").alias("__gj")))
+    return _grouped_pair_scores(keyed, ("__gi", "__gj"), threshold,
+                                id_col, vec_col, block_col="__blk",
+                                dedup=False)
 
 
 def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 64,
@@ -404,19 +466,17 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
 
     and cosine >= threshold.
 
-    method="exact": all-pairs JVM-side cosine (self cross-join with
-    norms hoisted per row) — the oracle path, O(n^2) scoring but zero
-    Python; fine for verification scale.  method="lsh": SRP bucket
-    self-join generates candidates, exact cosine verifies — the 100-TB
-    path; recall grows with n_tables (P[miss] = (1-(1-theta/pi)^bits)^
-    tables for angle theta; defaults give >0.999 at cosine 0.95)."""
-    c = corpus.select(id_col, vec_col, _norm_expr(vec_col).alias("__n"))
-    a = c.select(F.col(id_col).alias("a"),
-                 F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
-    b = c.select(F.col(id_col).alias("b"),
-                 F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+    method="exact": all pairs scored, via deterministic block pairs
+    (:func:`_allpairs_blocked`) — every pair lands in exactly one
+    block-pair group and scores there with a vectorized einsum, so
+    there is no cartesian join node and no pair-level frame; O(n^2)
+    compute by definition (that is what exact means), distributed over
+    ~partition-count groups.  method="lsh": SRP buckets generate
+    candidates, exact cosine verifies — the 100-TB path; recall grows
+    with n_tables (P[miss] = (1-(1-theta/pi)^bits)^tables for angle
+    theta; defaults give >0.999 at cosine 0.95)."""
     if method == "exact":
-        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+        return _allpairs_blocked(corpus, threshold, id_col, vec_col)
     elif method == "lsh":
         if dim is None:
             first = corpus.select(vec_col).first()
@@ -432,11 +492,6 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         return _lsh_pairs_bucketed(keys, threshold, id_col, vec_col)
     else:
         raise ValueError(f"unknown method {method!r}")
-    return (pairs.select(
-                "a", "b",
-                _safe_cosine_expr(_dot_expr("__va", "__vb"),
-                                  "__na", "__nb").alias("cosine"))
-            .where(F.col("cosine") >= threshold))
 
 
 class IVFIndex:
