@@ -291,6 +291,14 @@ def _grouped_pair_scores(keyed: DataFrame, key_cols: tuple[str, str],
                                     | (c1[1:] != c1[:-1])) + 1
             bounds = np.concatenate(([0], change, [len(c0)]))
             outs = []
+            # a deferred group that ended EXACTLY at the previous batch
+            # boundary must flush now, or the next deferral would
+            # silently drop it
+            if pend is not None and pend[0] != (int(c0[0]), int(c1[0])):
+                res = score(pend[0], pend[1], pend[2], pend[3])
+                if res is not None:
+                    outs.append(res)
+                pend = None
             for k in range(len(bounds) - 1):
                 s, e = int(bounds[k]), int(bounds[k + 1])
                 gids, gX = ids[s:e], X[s:e]

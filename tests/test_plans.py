@@ -138,8 +138,9 @@ def test_catalog_table_partition_pruning(spark, tmp_path_factory):
 def test_lsh_paths_have_no_cartesian_product(spark):
     """The candidate-generation scale paths must be bucket JOINS, never
     cartesian products — the difference between O(n^2) and O(collisions)
-    at 100 TB.  (The exact embedding path is intentionally a crossJoin
-    and is excluded.)"""
+    at 100 TB.  (Since r6 the exact embedding path is included too: it
+    is O(n^2) COMPUTE by definition, but distributes it over block-pair
+    groups instead of a cartesian join node.)"""
     import numpy as np
 
     from qsketch.spark.similarity import embedding_near_duplicates
@@ -160,6 +161,8 @@ def test_lsh_paths_have_no_cartesian_product(spark):
         "vec_id long, embedding array<double>")
     plans["embedding_lsh"] = _plan(embedding_near_duplicates(
         emb, method="lsh", dim=8))
+    plans["embedding_exact"] = _plan(embedding_near_duplicates(
+        emb, method="exact", dim=8))
     from qsketch.spark.textops import near_duplicates
     plans["rescue"] = _plan(near_duplicates(docs, max_bucket=4,
                                             rescue_oversized=True))

@@ -562,3 +562,30 @@ def test_ckpt_pin_corrupt_and_grandfathered(tmp_path):
     # and the pinned core key still protects: mismatch raises
     with pytest.raises(ValueError, match="mis-map"):
         _pin_ckpt_slicing(ck, "r2", {"n_tasks": 2, "plan_fingerprint": "x"})
+
+
+def test_grouped_consume_fast_path_matches_gathered(spark, tiny_df):
+    """The r6 sorted-slice regroup must produce byte-identical states
+    and identical n_rows/n_tokens to the per-group gather fallback."""
+    import pyarrow as pa
+
+    from qsketch.spark.agg import SketchSpec, _GroupedAcc
+
+    pdf = tiny_df.limit(400).toPandas()
+    batch = pa.RecordBatch.from_pandas(pdf)
+    specs = (SketchSpec("quotient", "tokens"), SketchSpec("hll", "tokens"),
+             SketchSpec("kll", "n_tok"))
+
+    def run(via_gathered):
+        acc = _GroupedAcc(specs, "source")
+        if via_gathered:
+            acc._consume_gathered(batch)
+        else:
+            acc.consume(batch)
+        rb = acc.to_record_batch(0)
+        return {(g, k): (st, nr, nt) for g, k, st, nr, nt in zip(
+            rb.column(0).to_pylist(), rb.column(2).to_pylist(),
+            rb.column(3).to_pylist(), rb.column(4).to_pylist(),
+            rb.column(5).to_pylist())}
+
+    assert run(False) == run(True)

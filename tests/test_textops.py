@@ -1356,3 +1356,81 @@ def test_vocabulary_growth_matches_python_replay(spark):
              for r in vocabulary_growth(df.repartition(9), n_buckets=5,
                                         epoch=3).collect()]
     assert again == got
+
+
+def test_window_gram_hashes_match_string_gram_equality(spark):
+    """The r6 fingerprint pass must reproduce the string-gram windows
+    exactly: same (doc, start) window set, same window counts, and
+    fingerprint equality iff the joined gram STRINGS are equal —
+    including double-space empty tokens, docs shorter than the window,
+    empty/null docs, and cross-doc shared grams."""
+    from qsketch.spark.textops import _window_gram_hashes
+
+    texts = {
+        0: "a b c d e",
+        1: "x a b c y",          # shares gram "a b c" with doc 0
+        2: "a  b c",             # double space: empty token in gram
+        3: "a b",                # shorter than window: no windows
+        4: "",                   # empty: no windows
+        5: None,                 # null: no windows
+        6: "a b c d e",          # exact duplicate of doc 0
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    rows = _window_gram_hashes(df, "text", "doc_id", 3).collect()
+    got = {(r["doc_id"], r["__start"]): (r["__nwin"], r["__gh"])
+           for r in rows}
+
+    # expected windows from the plain string definition
+    def grams(t):
+        toks = t.split(" ") if t else []
+        return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+
+    expect = {}
+    for d, t in texts.items():
+        for i, g in enumerate(grams(t or "")):
+            expect[(d, i + 1)] = g
+    assert set(got) == set(expect)
+    for key, (nwin, _) in got.items():
+        assert nwin == len(grams(texts[key[0]] or ""))
+    # fingerprint equality == gram-string equality across every window
+    by_hash = {}
+    for key, (_, gh) in got.items():
+        by_hash.setdefault(gh, set()).add(expect[key])
+    assert all(len(strs) == 1 for strs in by_hash.values())
+    by_str = {}
+    for key, (_, gh) in got.items():
+        by_str.setdefault(expect[key], set()).add(gh)
+    assert all(len(hs) == 1 for hs in by_str.values())
+
+
+def test_grouped_pair_scorer_carry_across_arrow_batches(spark):
+    """The r6 streamed-group pair scorer accumulates a group across
+    Arrow batch boundaries; with a tiny maxRecordsPerBatch every group
+    is split over several batches, and both the LSH and the blocked
+    exact path must still find every pair a large-batch run finds."""
+    from qsketch.spark.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    for j in range(8):  # planted near-dups
+        rows.append((100 + j, (base[j]
+                               + rng.normal(scale=0.03, size=16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(method):
+        return {(r["a"], r["b"], round(r["cosine"], 6))
+                for r in embedding_near_duplicates(
+                    emb, threshold=0.9, method=method).collect()}
+
+    big = {m: run(m) for m in ("exact", "lsh")}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        small = {m: run(m) for m in ("exact", "lsh")}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert small == big
+    assert len(big["exact"]) >= 8
+    assert big["lsh"] == big["exact"]
