@@ -237,29 +237,39 @@ def _grouped_pair_scores(keyed: DataFrame, key_cols: tuple[str, str],
 
     def pairs_of(ids: np.ndarray, X: np.ndarray,
                  blocks: np.ndarray | None, diagonal: bool):
+        """All qualifying i<j pairs of one group via BLOCKED GEMM:
+        row-block x full-matrix products keep peak scratch at
+        ~RB x g x 8 B regardless of group size (a triu_indices
+        materialization would be O(g^2) index memory — 800 MB for a
+        10k-row group), and the dense product is what BLAS is fastest
+        at anyway.  Only pairs passing the threshold are gathered."""
         g = len(ids)
         if g < 2:
             return None
         norms = np.maximum(np.sqrt(np.einsum("ij,ij->i", X, X)), 1e-300)
-        ii, jj = np.triu_indices(g, k=1)
-        if blocks is not None and not diagonal:
-            cross = blocks[ii] != blocks[jj]
-            ii, jj = ii[cross], jj[cross]
         out_a, out_b, out_c = [], [], []
-        CH = 1 << 20  # bound the (pairs x dim) gather scratch
-        for s in range(0, len(ii), CH):
-            i, j = ii[s:s + CH], jj[s:s + CH]
-            dots = np.einsum("ij,ij->i", X[i], X[j])
-            denom = norms[i] * norms[j]
+        RB = max(1, (1 << 22) // g)  # ~32 MB of float64 scores per block
+        for r0 in range(0, g - 1, RB):
+            r1 = min(r0 + RB, g)
+            scores = X[r0:r1] @ X.T                    # (b, g)
+            denom = norms[r0:r1, None] * norms[None, :]
             ok = denom != 0.0
-            cos = np.divide(dots, denom,
-                            out=np.full_like(dots, -np.inf), where=ok)
-            keep = cos >= threshold
-            if keep.any():
-                ia, jb = ids[i[keep]], ids[j[keep]]
-                out_a.append(np.minimum(ia, jb))
-                out_b.append(np.maximum(ia, jb))
-                out_c.append(cos[keep])
+            cos = np.divide(scores, denom,
+                            out=np.full_like(scores, -np.inf), where=ok)
+            ri, j = np.nonzero(cos >= threshold)
+            if not len(ri):
+                continue
+            i = ri + r0
+            m = j > i                                  # upper triangle
+            if blocks is not None and not diagonal:
+                m &= blocks[i] != blocks[j]
+            if not m.any():
+                continue
+            i, j = i[m], j[m]
+            ia, jb = ids[i], ids[j]
+            out_a.append(np.minimum(ia, jb))
+            out_b.append(np.maximum(ia, jb))
+            out_c.append(cos[ri[m], j])
         if not out_a:
             return None
         return (np.concatenate(out_a), np.concatenate(out_b),
