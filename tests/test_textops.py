@@ -1434,3 +1434,29 @@ def test_grouped_pair_scorer_carry_across_arrow_batches(spark):
     assert small == big
     assert len(big["exact"]) >= 8
     assert big["lsh"] == big["exact"]
+
+
+def test_simhash_pair_scorer_carry_across_arrow_batches(spark):
+    """The bucket-local Hamming scorer uses the same cross-batch carry
+    as the cosine scorer; tiny Arrow batches must not change the pair
+    set."""
+    from qsketch.spark.textops import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate tokens here " + ("x" if i % 7 else "y")
+          + f" tail{i % 5}") for i in range(60)],
+        "doc_id long, text string")
+
+    def run():
+        return {(r["a"], r["b"], r["hamming"])
+                for r in simhash_near_duplicates(docs).collect()}
+
+    big = run()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        small = run()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert small == big
+    assert len(big) > 0
